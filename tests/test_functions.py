@@ -1,0 +1,100 @@
+"""Unit tests for the pure kernels (text extraction, geotags, tokenize,
+hashing) — the engine's analogue of the reference's
+SSERIALIZE_EXPENSIVE_ASSERT invariants (SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from oscar_spatial_index_compare_ray.functions.geotags import extract_geotags
+from oscar_spatial_index_compare_ray.functions.hashing import (
+    content_hash_u32_list,
+    splitmix64,
+    stable_hash64_str,
+    token_hashes,
+)
+from oscar_spatial_index_compare_ray.functions.text_extract import (
+    escape_text,
+    extract_text,
+)
+from oscar_spatial_index_compare_ray.functions.tokenize import tokenize, unique_terms
+
+
+class TestExtractText:
+    def test_round_trip(self):
+        text = 'hello <world> & "friends" it\'s geo:48.7758,9.1829'
+        html = b"<html><body><nav>x</nav><main>" + escape_text(text) + b"</main></body></html>"
+        assert extract_text(html) == text
+
+    def test_strips_script_style(self):
+        html = b"<html><script>var a='<main>nope</main>';</script><main>yes</main></html>"
+        assert extract_text(html) == "yes"
+
+    def test_no_main_strips_all_tags(self):
+        assert extract_text(b"<p>a</p><p>b</p>") == "ab"
+
+    def test_empty_and_none(self):
+        assert extract_text(b"") == ""
+        assert extract_text(None) == ""
+
+    def test_byte_identical_per_url(self, corpus):
+        """North-rule invariant: extract_text(html) == text for every page."""
+        pages = pq.read_table(f"{corpus}/pages.parquet")
+        for html, text in zip(pages["html"].to_pylist(), pages["text"].to_pylist()):
+            assert extract_text(html) == text
+
+
+class TestGeotags:
+    def test_both_formats_in_order(self):
+        text = "a geo:48.7758,9.1829 b (lat -1.5000, lon 10.0000) c"
+        assert extract_geotags(text) == [(48.7758, 9.1829), (-1.5, 10.0)]
+
+    def test_out_of_range_dropped(self):
+        assert extract_geotags("geo:95.0000,10.0000") == []
+        assert extract_geotags("geo:10.0000,190.0000") == []
+
+    def test_malformed_ignored(self):
+        # analogue of invalid-cell warning path, src/OscarSgIndex.cpp:150-155
+        assert extract_geotags("geo:abc,def geo:1.0 (lat 2, lon 3)") == []
+        assert extract_geotags("") == []
+        assert extract_geotags(None) == []
+
+    def test_golden_points(self, corpus):
+        pages = pq.read_table(f"{corpus}/pages.parquet")
+        points = pq.read_table(f"{corpus}/points.parquet")
+        golden: dict[int, list] = {}
+        for r in points.to_pylist():
+            golden.setdefault(r["doc_id"], []).append((r["lat"], r["lon"]))
+        for text, did in zip(pages["text"].to_pylist(), pages["doc_id"].to_pylist()):
+            assert extract_geotags(text) == golden.get(did, [])
+
+
+class TestTokenize:
+    def test_lowercase_and_unicode(self):
+        assert tokenize("Hello WORLD Straße") == ["hello", "world", "strasse"]
+
+    def test_unique_sorted(self):
+        assert unique_terms("b a b c a") == ["a", "b", "c"]
+
+    def test_empty(self):
+        assert tokenize("") == []
+        assert tokenize(None) == []
+
+
+class TestHashing:
+    def test_stable_across_calls(self):
+        assert stable_hash64_str("abc") == stable_hash64_str("abc")
+        assert stable_hash64_str("abc") != stable_hash64_str("abd")
+
+    def test_content_hash_order_sensitive_input_sorted(self):
+        a = np.array([1, 2, 3], dtype=np.uint32)
+        assert content_hash_u32_list(a) == content_hash_u32_list(a.copy())
+
+    def test_splitmix_vectorized(self):
+        x = np.arange(10, dtype=np.uint64)
+        y = splitmix64(x)
+        assert len(np.unique(y)) == 10
+        assert (splitmix64(x) == y).all()
+
+    def test_token_hashes(self):
+        h = token_hashes(["a", "b", "a"])
+        assert h[0] == h[2] and h[0] != h[1]
