@@ -195,16 +195,25 @@ class S2Grid(Grid):
         i0 = i0 & ~(side - 1)
         j0 = j0 & ~(side - 1)
         n = float(np.int64(1) << _MAX_LEVEL)
+        frac = np.linspace(0.0, 1.0, 5)
         for k in range(len(pid)):
             f = int(face[k])
             corners = []
-            for di in (0, int(side[k])):
-                for dj in (0, int(side[k])):
-                    s = (i0[k] + di) / n
-                    t = (j0[k] + dj) / n
-                    u = _st_to_uv(np.array([s]))[0]
-                    v = _st_to_uv(np.array([t]))[0]
-                    corners.append(_face_uv_inverse(f, u, v))
+            # sample the cell boundary, not just corners: straight uv-space
+            # edges curve in lat/lon, so extremes can sit mid-edge
+            w = float(side[k])
+            boundary = (
+                [(t * w, 0.0) for t in frac]
+                + [(t * w, w) for t in frac]
+                + [(0.0, t * w) for t in frac]
+                + [(w, t * w) for t in frac]
+            )
+            for di, dj in boundary:
+                s = (i0[k] + di) / n
+                t = (j0[k] + dj) / n
+                u = _st_to_uv(np.array([s]))[0]
+                v = _st_to_uv(np.array([t]))[0]
+                corners.append(_face_uv_inverse(f, u, v))
             c = np.array(corners)
             lats = np.degrees(np.arcsin(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1)))
             lons = np.degrees(np.arctan2(c[:, 1], c[:, 0]))
