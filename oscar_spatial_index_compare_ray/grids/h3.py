@@ -126,7 +126,7 @@ class H3Grid(Grid):
         """Hexes at res+1 whose parent is ``pid`` (≈7, like
         maxH3ToChildrenSize, src/H3SpatialGrid.cpp:108-116).  Scans the
         k=2 ring of the center child."""
-        pid = _U64(pid)
+        pid = _U64(int(pid) & 0xFFFFFFFFFFFFFFFF)
         if pid == ROOT_PIXEL_ID:
             # res-0 cells covering the world are unbounded in a planar
             # axial scheme; return the res-0 hexes covering lat/lon space

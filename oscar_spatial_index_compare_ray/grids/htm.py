@@ -149,7 +149,7 @@ class HTMGrid(Grid):
         return (ld >= la) & ((desc >> shift) == anc)
 
     def children(self, pid: int):
-        pid = np.uint64(pid)
+        pid = np.uint64(int(pid) & 0xFFFFFFFFFFFFFFFF)
         if int(self.level(np.array([pid]))[0]) >= self.max_level:
             return np.empty(0, dtype=np.uint64)
         return (pid << np.uint64(2)) | np.arange(4, dtype=np.uint64)

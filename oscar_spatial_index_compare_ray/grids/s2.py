@@ -164,7 +164,7 @@ class S2Grid(Grid):
         return ((anc - (l - _U64(1))) <= desc) & (desc <= (anc + (l - _U64(1))))
 
     def children(self, pid: int):
-        pid = np.uint64(pid)
+        pid = np.uint64(int(pid) & 0xFFFFFFFFFFFFFFFF)
         lvl = int(self.level(np.array([pid]))[0])
         if lvl >= self.max_level:
             return np.empty(0, dtype=np.uint64)

@@ -1,0 +1,88 @@
+"""Stateless map_batches stages: html → text, text → exploded points.
+
+Engine analogue of the reference's per-item point visitor
+(``item.geoShape().visitPoints(...)``, src/OscarSgIndex.cpp:105,122):
+one output row per (doc, point).
+
+Batch format is pyarrow end-to-end (zero-copy from the object store).
+The geotag scan is batch-vectorized: all texts of a batch are joined
+with a NUL separator and scanned with ONE compiled-regex pass; match
+offsets map back to row indices via searchsorted — no per-row Python
+regex calls in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.geotags import GEOTAG_RE
+from ..functions.text_extract import extract_text
+
+_SEP = "\x00"
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """html binary column → text column (byte-identical per url)."""
+    texts = [extract_text(h) for h in batch.column("html").to_pylist()]
+    cols = {name: batch.column(name) for name in batch.column_names if name != "html"}
+    cols["text"] = pa.array(texts, pa.string())
+    return pa.table(cols)
+
+
+def explode_points_batch(batch: pa.Table, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """(id, text) batch → (id, point_idx, lat, lon) rows, one per geotag.
+
+    Single-pass scan over the NUL-joined batch text; rows with no
+    geotags produce no output (docs without points are simply absent
+    from the spatial index, as in the reference)."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    joined = _SEP.join(t if t is not None else "" for t in texts)
+    # char offset where each row starts in `joined`
+    lens = np.fromiter((len(t) if t else 0 for t in texts), dtype=np.int64, count=len(texts))
+    starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=starts[1:])
+
+    pos, lats, lons = [], [], []
+    for m in GEOTAG_RE.finditer(joined):
+        if m.group(1) is not None:
+            lat, lon = float(m.group(1)), float(m.group(2))
+        else:
+            lat, lon = float(m.group(3)), float(m.group(4))
+        if -90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0:
+            pos.append(m.start())
+            lats.append(lat)
+            lons.append(lon)
+
+    if not pos:
+        return pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "point_idx": pa.array([], pa.int64()),
+                "lat": pa.array([], pa.float64()),
+                "lon": pa.array([], pa.float64()),
+            }
+        )
+    pos_a = np.asarray(pos, dtype=np.int64)
+    row = np.searchsorted(starts, pos_a, side="right") - 1
+    # per-row running point index (rows are in scan order → monotone)
+    point_idx = np.zeros(len(row), dtype=np.int64)
+    same = np.nonzero(row[1:] == row[:-1])[0]
+    for i in same:  # tiny loop over duplicate-run boundaries only
+        point_idx[i + 1] = point_idx[i] + 1
+    return pa.table(
+        {
+            id_col: pa.array(ids[row]),
+            "point_idx": pa.array(point_idx, pa.int64()),
+            "lat": pa.array(np.asarray(lats, dtype=np.float64)),
+            "lon": pa.array(np.asarray(lons, dtype=np.float64)),
+        }
+    )
+
+
+def extract_and_explode(batch: pa.Table) -> pa.Table:
+    """Fused html→text→points stage for the flagship build (keeps the
+    intermediate text column out of the object store entirely)."""
+    return explode_points_batch(extract_text_batch(batch))
