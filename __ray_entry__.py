@@ -3,14 +3,17 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The spatial pipelines run over a synthetic Common-Crawl-style ``pages``
+corpus derived deterministically from the driver's ``documents`` table
+(oscar_spatial_index_compare_ray/sources/synth.py).  The oracle SQL
+recomputes the same answers independently in DuckDB — including the
+point-in-polygon join, done in SQL as a ray-cast parity count over an
+exploded polygon-edge table.
+
+No ray.init()/ray.shutdown() here or in the library code (driver owns
+the session).
 """
 
 from __future__ import annotations
@@ -18,27 +21,89 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.01"
+
+
+def _corpus_sql_dir() -> str:
+    """The sf0.01 synthetic corpus dir (generated on demand so the
+    oracle SQL can read the same parquet the engine reads)."""
+    from oscar_spatial_index_compare_ray.sources.synth import ensure_corpus
+
+    return ensure_corpus(SF001)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: spatial-join + cell-assignment over sf0.001 pages."""
+    from oscar_spatial_index_compare_ray.sources.synth import ensure_corpus
+    from oscar_spatial_index_compare_ray.pipelines.build_index import build_assignments
+
+    corpus = ensure_corpus("/root/testdata/sf0.001")
+    return build_assignments(corpus)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from oscar_spatial_index_compare_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_points": q.q_extract_points,
+        "assign_cells": q.q_assign_cells,
+        "assign_simple_pixel": q.q_assign_simple_pixel,
+        "cell_doc_counts": q.q_cell_doc_counts,
+        "tile_join": q.q_tile_join,
+        "knn": q.q_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from oscar_spatial_index_compare_ray.grids import get_grid
+
+    c = _corpus_sql_dir()
+    points = f"read_parquet('{c}/points.parquet')"
+    edges = f"read_parquet('{c}/region_edges.parquet')"
+    tiles = f"read_parquet('{c}/tiles.parquet')"
+    simple_expr = get_grid("simple").sql_expr("lat", "lon", 8)
+
+    pip_cell = f"""
+      WITH pts AS (SELECT doc_id, point_idx, lat, lon FROM {points}),
+      hits AS (
+        SELECT p.doc_id, p.point_idx, e.cell_id,
+               sum(CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
+                         AND p.lon < (e.x2-e.x1)*(p.lat-e.y1)/(e.y2-e.y1)+e.x1
+                    THEN 1 ELSE 0 END) AS crossings
+        FROM pts p JOIN {edges} e ON TRUE
+        GROUP BY 1, 2, 3),
+      assigned AS (
+        SELECT p.doc_id, p.point_idx, p.lat, p.lon,
+               coalesce(min(CASE WHEN h.crossings % 2 = 1 THEN h.cell_id END), 0) AS cell_id
+        FROM pts p LEFT JOIN hits h
+          ON h.doc_id = p.doc_id AND h.point_idx = p.point_idx
+        GROUP BY 1, 2, 3, 4)
     """
-    return {}
+
+    from oscar_spatial_index_compare_ray.sources.synth import TILE_ID_SQL
+
+    qlat, qlon, k = 48.7758, 9.1829, 25
+    hav = (
+        f"2 * 6371.0 * asin(sqrt(pow(sin(radians(lat - {qlat}) / 2), 2) "
+        f"+ cos(radians({qlat})) * cos(radians(lat)) * pow(sin(radians(lon - {qlon}) / 2), 2)))"
+    )
+
+    return {
+        "extract_points": f"SELECT doc_id, point_idx, lat, lon FROM {points}",
+        "assign_cells": pip_cell + "SELECT doc_id, point_idx, lat, lon, cell_id FROM assigned",
+        "assign_simple_pixel": (
+            f"SELECT doc_id, point_idx, {simple_expr} AS simple_cell FROM {points}"
+        ),
+        "cell_doc_counts": pip_cell + (
+            "SELECT cell_id, count(DISTINCT doc_id) AS n_docs FROM assigned GROUP BY cell_id"
+        ),
+        "tile_join": (
+            f"SELECT p.doc_id, p.point_idx, {TILE_ID_SQL} AS tile_id, t.tile_value AS tile_value "
+            f"FROM (SELECT doc_id, point_idx, lat, lon FROM {points}) p "
+            f"LEFT JOIN {tiles} t ON t.tile_id = {TILE_ID_SQL}"
+        ),
+        "knn": (
+            f"SELECT doc_id, point_idx, lat, lon, round({hav}, 6) AS dist_km "
+            f"FROM {points} ORDER BY {hav}, doc_id, point_idx LIMIT {k}"
+        ),
+    }

@@ -86,13 +86,17 @@ class Grid(ABC):
         return (lat1 - lat0) * km_per_deg * (lon1 - lon0) * km_per_deg * np.cos(mid)
 
     def cover_bbox(self, lat_min: float, lat_max: float, lon_min: float, lon_max: float,
-                   level: int | None = None) -> np.ndarray:
+                   level: int | None = None, max_cells: int | None = None) -> np.ndarray | None:
         """All level-``level`` pixels whose bbox intersects the query box.
 
         Generic BFS refinement from the roots — the ``tree(begin, end)``
         capability left unimplemented in all three reference grids
         (src/H3SpatialGrid.cpp:118-122 etc.); needed here for the
         geometry query leaves and kNN ring expansion.
+
+        ``max_cells``: abort and return None once the frontier exceeds
+        the budget — callers then retry at a coarser level (wide covers
+        at fine levels would otherwise explode combinatorially).
         """
         if level is None:
             level = self.default_level
@@ -101,6 +105,8 @@ class Grid(ABC):
             la0, la1, lo0, lo1 = self.bbox(frontier)
             hit = (la1 >= lat_min) & (la0 <= lat_max) & (lo1 >= lon_min) & (lo0 <= lon_max)
             frontier = frontier[hit]
+            if max_cells is not None and len(frontier) > max_cells:
+                return None
             levels = self.level(frontier)
             if len(frontier) == 0 or (levels >= level).all():
                 break

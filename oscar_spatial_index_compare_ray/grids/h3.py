@@ -171,11 +171,15 @@ class H3Grid(Grid):
         km = 111.195
         return 1.5 * _SQRT3 * (s * km) * (s * km * np.cos(np.radians(np.clip(lat, -89.9, 89.9))))
 
-    def cover_bbox(self, lat_min, lat_max, lon_min, lon_max, level=None):
+    def cover_bbox(self, lat_min, lat_max, lon_min, lon_max, level=None, max_cells=None):
         """Direct axial-range cover (no tree walk needed for a flat hex grid)."""
         if level is None:
             level = self.default_level
         s = _size(level)
+        if max_cells is not None:
+            est = ((lat_max - lat_min) / (1.5 * s) + 3) * ((lon_max - lon_min) / (_SQRT3 * s) + 3)
+            if est > max_cells:
+                return None
         rs = np.arange(int(np.floor(lat_min / (1.5 * s))) - 1,
                        int(np.ceil(lat_max / (1.5 * s))) + 2)
         out_q, out_r = [], []

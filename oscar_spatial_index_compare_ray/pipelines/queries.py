@@ -1,0 +1,172 @@
+"""Driver-facing query pipelines: each returns a Dataset / Table whose
+result a DuckDB oracle can reproduce independently (__ray_entry__.py).
+
+Column names here are the contract — they must match the oracle SQL
+exactly (the driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..grids import get_grid
+from ..sources.synth import ensure_corpus
+from ..pipelines.build_index import build_assignments, build_points
+
+_ASSIGN_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def assignments_for(sf_dir: str, grids=("h3", "s2", "htm", "simple"), level: int = 8,
+                    multiplier: int = 1) -> ray.data.Dataset:
+    """Materialized assignments for an sf_dir, cached per driver process
+    (queries share one build instead of re-running the pipeline)."""
+    key = (sf_dir, tuple(grids), level, multiplier)
+    if key not in _ASSIGN_CACHE:
+        corpus = ensure_corpus(sf_dir, multiplier)
+        _ASSIGN_CACHE[key] = build_assignments(corpus, grids=grids, level=level).materialize()
+    return _ASSIGN_CACHE[key]
+
+
+# --- queries() entries ------------------------------------------------------
+
+def q_extract_points(sf_dir: str) -> ray.data.Dataset:
+    """Geotag extraction + explode: (doc_id, point_idx, lat, lon)."""
+    corpus = ensure_corpus(sf_dir)
+    return build_points(corpus)
+
+
+def q_assign_cells(sf_dir: str) -> ray.data.Dataset:
+    """Spatial join: every point with its polygon cell (sentinel 0)."""
+    ds = assignments_for(sf_dir)
+    return ds.select_columns(["doc_id", "point_idx", "lat", "lon", "cell_id"])
+
+
+def q_assign_simple_pixel(sf_dir: str) -> ray.data.Dataset:
+    """Grid assignment on the SQL-mirrorable grid: simplegrid level 8."""
+    ds = assignments_for(sf_dir)
+    return ds.select_columns(["doc_id", "point_idx", "simple_cell"])
+
+
+def q_cell_doc_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per polygon cell: distinct docs + point count (group shuffle)."""
+    from ray.data.aggregate import Count
+
+    ds = assignments_for(sf_dir)
+    # distinct (cell, doc) then count per cell: pre-dedup per batch, final groupby
+    slim = ds.select_columns(["cell_id", "doc_id"]).map_batches(
+        lambda b: b.group_by(["cell_id", "doc_id"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    uniq = slim.groupby(["cell_id", "doc_id"]).aggregate(Count(alias_name="dup"))
+    return uniq.groupby("cell_id").aggregate(Count(alias_name="n_docs"))
+
+
+def q_tile_join(sf_dir: str) -> ray.data.Dataset:
+    """Raster-tile ↔ vector join: per-point tile value (broadcast small
+    raster side, computed key — no shuffle, SURVEY.md §2.5)."""
+    import ray
+
+    corpus = ensure_corpus(sf_dir)
+    from ..sources.readers import read_small_arrow
+
+    tiles = read_small_arrow(corpus, "tiles")
+    tile_vals = np.full(int(tiles.column("tile_id").to_numpy().max()) + 1, np.nan)
+    tile_vals[tiles.column("tile_id").to_numpy()] = tiles.column("tile_value").to_numpy()
+    vals_ref = ray.put(tile_vals)
+
+    class TileLookup:
+        def __init__(self):
+            self.vals = ray.get(vals_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tid = batch.column("tile_id").to_numpy(zero_copy_only=False)
+            ok = tid >= 0
+            v = np.where(ok, self.vals[np.clip(tid, 0, len(self.vals) - 1)], np.nan)
+            # out-of-window points get NULL (not NaN) to match SQL join
+            return batch.append_column("tile_value", pa.array(v, pa.float64(), mask=~ok))
+
+    # tile_id was computed in build_assignments; join = O(1) array lookup
+    return assignments_for(sf_dir).select_columns(["doc_id", "point_idx", "tile_id"]).map_batches(
+        TileLookup, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def q_knn(sf_dir: str, qlat: float = 48.7758, qlon: float = 9.1829, k: int = 25) -> pa.Table:
+    """kNN: top-k nearest points to a query location (haversine), with
+    cell-neighborhood candidate pruning then exact distance top-k
+    (SURVEY.md §2.5 north-rule kNN).
+
+    Scale path: candidate pixels from an expanding cover around the
+    query prune the Dataset (predicate on the pixel column) before the
+    exact sort; at toy scale the pruning ring may cover everything."""
+    ds = assignments_for(sf_dir)
+    grid = get_grid("h3")
+
+    # expanding-ring candidate pruning: grow a bbox cover until it
+    # certainly holds >= k points, then exact-verify by haversine
+    import pyarrow.compute as pc
+
+    radius = 0.5  # degrees
+    while radius <= 32.0:
+        cover = grid.cover_bbox(
+            qlat - radius, qlat + radius, qlon - radius, qlon + radius,
+            level=8, max_cells=100_000,
+        )
+        if cover is not None:
+            cand_set = pa.array(cover.view(np.int64))
+            cand = ds.map_batches(
+                lambda b, s=cand_set: b.filter(pc.is_in(b.column("h3_cell"), value_set=s)),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        else:
+            # wide ring: a fine-level cover would explode; prune directly on
+            # the coordinate columns (same guarantee — the cover is just a
+            # pixel-granular bbox).  At scale, pixel-keyed partitioning makes
+            # the narrow-ring path prune partitions; this path is the
+            # rare continent-wide query.
+            lo, hi = qlat - radius, qlat + radius
+            lo2, hi2 = qlon - radius, qlon + radius
+            cand = ds.map_batches(
+                lambda b: b.filter(
+                    pc.and_(
+                        pc.and_(pc.greater_equal(b.column("lat"), lo), pc.less_equal(b.column("lat"), hi)),
+                        pc.and_(pc.greater_equal(b.column("lon"), lo2), pc.less_equal(b.column("lon"), hi2)),
+                    )
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        rows = cand.select_columns(["doc_id", "point_idx", "lat", "lon"]).take_all()
+        # the ring guarantees correctness only if the k-th candidate is
+        # closer than the ring's inradius; else grow and retry
+        if len(rows) >= k:
+            t = pa.Table.from_pylist(rows)
+            d = _haversine_km(qlat, qlon, t.column("lat").to_numpy(), t.column("lon").to_numpy())
+            kth = np.partition(d, k - 1)[k - 1]
+            # safe distance = the box's inradius in km: the lon half-width
+            # shrinks by cos(lat) — use the worst latitude in the box
+            worst_lat = min(89.0, abs(qlat) + radius)
+            safe_km = radius * 111.195 * min(1.0, np.cos(np.radians(worst_lat))) * 0.999
+            if kth <= safe_km:
+                order = np.lexsort(
+                    (t.column("point_idx").to_numpy(), t.column("doc_id").to_numpy(), d)
+                )[:k]
+                return t.take(order).append_column("dist_km", pa.array(np.round(d[order], 6)))
+        radius *= 2.0
+    # ring search exhausted (fewer than k nearby points): exact global scan
+    t_all = pa.Table.from_pylist(ds.select_columns(["doc_id", "point_idx", "lat", "lon"]).take_all())
+    d = _haversine_km(qlat, qlon, t_all.column("lat").to_numpy(), t_all.column("lon").to_numpy())
+    order = np.lexsort(
+        (t_all.column("point_idx").to_numpy(), t_all.column("doc_id").to_numpy(), d)
+    )[: min(k, len(d))]
+    return t_all.take(order).append_column("dist_km", pa.array(np.round(d[order], 6)))
+
+
+def _haversine_km(qlat, qlon, lat, lon):
+    R = 6371.0
+    p1, p2 = np.radians(qlat), np.radians(lat)
+    dp = np.radians(lat - qlat)
+    dl = np.radians(lon - qlon)
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return 2 * R * np.arcsin(np.sqrt(a))
