@@ -1,0 +1,69 @@
+"""HCQR tree algebra vs flat CQR — flatten equality across all ops
+(the cross-engine debugDiff invariant, apps/mainq.cpp:399-482)."""
+
+import numpy as np
+import pytest
+
+from oscar_spatial_index_compare_ray.query.hcqr import HCQR
+
+LEVEL = 6
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session, sf_dir):
+    from oscar_spatial_index_compare_ray.pipelines.search import build_query_engine
+
+    return build_query_engine(sf_dir, grid="h3", level=LEVEL)
+
+
+@pytest.fixture(scope="module")
+def mk(eng):
+    leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+
+    def make(query: str) -> HCQR:
+        return HCQR.from_cqr(eng.complete(query), eng.grid, LEVEL, leaf_pixels)
+
+    return make
+
+
+PAIRS = [("table", "window"), ("tab*", "merge"), ("$region:region_001", "table")]
+
+
+@pytest.mark.parametrize("qa,qb", PAIRS)
+def test_hcqr_ops_match_cqr(eng, mk, qa, qb):
+    a_c, b_c = eng.complete(qa), eng.complete(qb)
+    a_h, b_h = mk(qa), mk(qb)
+    for op in ("+", " ", "-"):
+        flat_cqr = a_c.apply(op, b_c).flaten()
+        flat_hcqr = a_h.apply(op, b_h).items()
+        assert flat_cqr.tolist() == flat_hcqr.tolist(), op
+
+
+def test_hcqr_symdiff_unsupported(mk):
+    a, b = mk("table"), mk("window")
+    with pytest.raises(NotImplementedError):
+        a.apply("^", b)
+
+
+def test_hcqr_roundtrip_flatten(eng, mk):
+    for q in ("table", "tab*", "$cell:5"):
+        assert mk(q).items().tolist() == eng.complete(q).flaten().tolist()
+
+
+def test_compactify_preserves_flatten(eng, mk):
+    h = mk("$full( a* )")  # full-match-rich tree → compaction has fuel
+    c = h.compactified()
+    assert c.items().tolist() == h.items().tolist()
+    assert c.number_of_nodes() <= h.number_of_nodes()
+
+
+def test_all_to_full_hcqr(eng, mk):
+    h = mk("table")
+    full = h.all_to_full()
+    assert set(h.items().tolist()) <= set(full.items().tolist())
+
+
+def test_depth_and_node_count(mk):
+    h = mk("table")
+    assert h.depth() == LEVEL + 1  # root-level hex .. leaf
+    assert h.number_of_nodes() >= h.depth()
