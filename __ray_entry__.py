@@ -51,6 +51,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_doc_counts": q.q_cell_doc_counts,
         "tile_join": q.q_tile_join,
         "knn": q.q_knn,
+        "search_exact": q.q_search_exact,
+        "search_prefix": q.q_search_prefix,
+        "search_union": q.q_search_union,
+        "search_intersect": q.q_search_intersect,
+        "search_diff": q.q_search_diff,
+        "search_symdiff": q.q_search_symdiff,
+        "search_nested": q.q_search_nested,
+        "search_region": q.q_search_region,
+        "search_rect": q.q_search_rect,
+        "term_df": q.q_term_df,
     }
 
 
@@ -106,4 +116,58 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, point_idx, lat, lon, round({hav}, 6) AS dist_km "
             f"FROM {points} ORDER BY {hav}, doc_id, point_idx LIMIT {k}"
         ),
+        **_search_oracles(c),
+        "term_df": (
+            f"SELECT term, count(*) AS df FROM ("
+            f"  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\W+'))) AS term"
+            f"  FROM read_parquet('{c}/pages.parquet')"
+            f") WHERE term <> '' GROUP BY term"
+        ),
+    }
+
+
+def _search_oracles(c: str) -> dict[str, str]:
+    """Doc-level SQL recomputation of the op-tree searches: a doc is in
+    the index iff it has >=1 geotag point; term match = tokenized text
+    contains the term; set ops compose with INTERSECT/UNION/EXCEPT."""
+    points = f"read_parquet('{c}/points.parquet')"
+    pages = f"read_parquet('{c}/pages.parquet')"
+    edges = f"read_parquet('{c}/region_edges.parquet')"
+
+    def term(t: str) -> str:
+        return (
+            f"SELECT DISTINCT doc_id FROM {pages} WHERE "
+            f"list_contains(regexp_split_to_array(lower(text), '\\W+'), '{t}') "
+            f"AND doc_id IN (SELECT doc_id FROM {points})"
+        )
+
+    def prefix(t: str) -> str:
+        return (
+            f"SELECT DISTINCT doc_id FROM {pages} WHERE "
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x LIKE '{t}%')) > 0 "
+            f"AND doc_id IN (SELECT doc_id FROM {points})"
+        )
+
+    region1 = (
+        f"SELECT DISTINCT p.doc_id FROM {points} p JOIN {edges} e ON e.region_id = 1 "
+        f"WHERE ((e.y1 > p.lat) != (e.y2 > p.lat)) "
+        f"  AND p.lon < (e.x2-e.x1)*(p.lat-e.y1)/(e.y2-e.y1)+e.x1 "
+        f"GROUP BY p.doc_id, p.point_idx, e.cell_id "
+        f"HAVING count(*) % 2 = 1"
+    )
+    rect = (
+        "SELECT DISTINCT doc_id FROM " + points
+        + " WHERE lat BETWEEN 45.0 AND 52.0 AND lon BETWEEN 5.0 AND 15.0"
+    )
+    a, b, m = term("table"), term("window"), term("merge")
+    return {
+        "search_exact": f"SELECT doc_id FROM ({a})",
+        "search_prefix": f"SELECT doc_id FROM ({prefix('tab')})",
+        "search_union": f"({a}) UNION ({b})",
+        "search_intersect": f"({a}) INTERSECT ({b})",
+        "search_diff": f"({a}) EXCEPT ({b})",
+        "search_symdiff": f"(({a}) EXCEPT ({b})) UNION (({b}) EXCEPT ({a}))",
+        "search_nested": f"(({a}) UNION ({b})) EXCEPT ({m})",
+        "search_region": f"(SELECT doc_id FROM ({region1})) INTERSECT ({a})",
+        "search_rect": f"({rect}) INTERSECT ({a})",
     }

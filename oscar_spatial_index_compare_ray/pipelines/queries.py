@@ -170,3 +170,64 @@ def _haversine_km(qlat, qlon, lat, lon):
     dl = np.radians(lon - qlon)
     a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
     return 2 * R * np.arcsin(np.sqrt(a))
+
+
+# --- op-tree search queries (engine → flattened doc ids) -------------------
+
+def _search(sf_dir: str, query: str) -> pa.Table:
+    """Evaluate a query-language expression at h3 level 8 and return the
+    flattened doc-id set (OscarSearchWithSg::complete + flaten analogue,
+    apps/main.cpp:184,195)."""
+    from .search import build_query_engine
+
+    eng = build_query_engine(sf_dir, grid="h3", level=8)
+    docs = eng.complete(query).flaten()
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def q_search_exact(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "table")
+
+
+def q_search_prefix(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "tab*")
+
+
+def q_search_union(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "table + window")
+
+
+def q_search_intersect(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "table window")
+
+
+def q_search_diff(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "table - window")
+
+
+def q_search_symdiff(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "table ^ window")
+
+
+def q_search_nested(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "(table + window) - merge")
+
+
+def q_search_region(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "$region:region_001 table")
+
+
+def q_search_rect(sf_dir: str) -> pa.Table:
+    return _search(sf_dir, "$rect:45.0,5.0,52.0,15.0 table")
+
+
+def q_term_df(sf_dir: str) -> "ray.data.Dataset":
+    """Term document frequencies over pages — the trie/vocabulary build
+    shuffle (groupby term), SQL-mirrorable."""
+    from ray.data.aggregate import Count
+
+    from .text_index import tokenize_pages
+
+    corpus = ensure_corpus(sf_dir)
+    terms = tokenize_pages(corpus)
+    return terms.groupby("term").aggregate(Count(alias_name="df"))
