@@ -43,8 +43,22 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from oscar_spatial_index_compare_ray.pipelines import queries as q
+    from oscar_spatial_index_compare_ray.pipelines import traindata as td
 
     return {
+        "text_stats": td.q_text_stats,
+        "lang_id": td.q_lang_id,
+        "token_count_by_lang": td.q_token_count_by_lang,
+        "fingerprint": td.q_fingerprint,
+        "dedup_exact": td.q_dedup_exact,
+        "jaccard_pairs": td.q_jaccard_pairs,
+        "dedup_minhash": td.q_dedup_minhash,
+        "dedup_simhash": td.q_dedup_simhash,
+        "dedup_embedding": td.q_dedup_embedding,
+        "ann_topk": td.q_ann_topk,
+        "ann_lsh": td.q_ann_lsh,
+        "events_window": td.q_events_window,
+        "sessions": td.q_sessions,
         "extract_points": q.q_extract_points,
         "assign_cells": q.q_assign_cells,
         "assign_simple_pixel": q.q_assign_simple_pixel,
@@ -117,11 +131,75 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {points} ORDER BY {hav}, doc_id, point_idx LIMIT {k}"
         ),
         **_search_oracles(c),
+        **_traindata_oracles(),
         "term_df": (
             f"SELECT term, count(*) AS df FROM ("
             f"  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\W+'))) AS term"
             f"  FROM read_parquet('{c}/pages.parquet')"
             f") WHERE term <> '' GROUP BY term"
+        ),
+    }
+
+
+def _traindata_oracles() -> dict[str, str]:
+    """SQL recomputation of the SQL-expressible training-data operators
+    over the pre-registered views (documents / embeddings / events).
+    lang_id, fingerprint, dedup_minhash/simhash and ann_lsh are
+    deliberately absent → rows-only checks (non-SQL-expressible:
+    heuristic models and probabilistic sketches); their semantics are
+    pytest-verified against exact recomputation instead."""
+    toks = "list_filter(list_distinct(regexp_split_to_array(lower(text), '\\W+')), x -> x <> '')"
+    all_toks = "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+    sw = "('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with')"
+    return {
+        "text_stats": (
+            f"SELECT doc_id, length(text) AS n_chars, len({all_toks}) AS n_tokens, "
+            f"len({toks}) AS n_unique_tokens, "
+            f"round(len(list_filter({all_toks}, x -> x IN {sw})) / CAST(len({all_toks}) AS DOUBLE), 6) AS stopword_ratio, "
+            f"round(1.0 - len({toks}) / CAST(len({all_toks}) AS DOUBLE), 6) AS repetition_ratio "
+            f"FROM documents"
+        ),
+        "token_count_by_lang": (
+            f"SELECT lang, CAST(sum(len({all_toks})) AS BIGINT) AS n_tokens, count(*) AS n_docs "
+            f"FROM documents GROUP BY lang"
+        ),
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        "jaccard_pairs": (
+            f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / "
+            f"(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6) AS jaccard "
+            f"FROM t a JOIN t b ON a.doc_id < b.doc_id "
+            f"WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / "
+            f"(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.4"
+        ),
+        "dedup_embedding": (
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+            "           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
+            "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cosine "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id "
+            "LIMIT 10"
+        ),
+        "events_window": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_s, "
+            "event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessions": (
+            "WITH o AS (SELECT user_id, ts, "
+            "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+            "       THEN 1 ELSE 0 END AS brk "
+            "  FROM events) "
+            "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events "
+            "FROM o GROUP BY user_id"
         ),
     }
 

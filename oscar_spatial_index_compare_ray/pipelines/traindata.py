@@ -1,0 +1,545 @@
+"""Training-data pipeline operators over the driver's ``documents`` /
+``embeddings`` / ``events`` tables: text analysis, deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search, and windowed event aggregation.
+
+These are first-class engine components beyond the reference's operator
+set (SURVEY.md §2 note): a 100 TB web-text ingest needs them alongside
+the spatial index.  Every stage is a vectorized ``map_batches`` (Arrow
+in/out); wide steps pre-aggregate per batch before the shuffle; small
+sides (query vectors, token-set tables at toy scale) broadcast via
+``ray.put``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.minhash import (
+    hamming64,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+)
+from ..functions.textstats import fingerprint, lang_id, quality_stats
+from ..functions.tokenize import unique_terms
+from ..functions.hashing import token_hashes
+from ..sources.readers import read_table
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality stats (SQL-mirrorable columns only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = [quality_stats(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+                "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+                "n_unique_tokens": pa.array([r["n_unique_tokens"] for r in rows], pa.int64()),
+                "stopword_ratio": pa.array([r["stopword_ratio"] for r in rows], pa.float64()),
+                "repetition_ratio": pa.array([r["repetition_ratio"] for r in rows], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic language-ID per document (stopword profiles)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        preds = [lang_id(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang_pred": pa.array([p[0] for p in preds], pa.string()),
+                "lang_conf": pa.array([p[1] for p in preds], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Corpus token totals per language tag (pre-agg per batch, then a
+    tiny groupby — the partial-aggregation pattern)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0])
+        from ..functions.textstats import token_count
+
+        for lg, t in zip(langs, texts):
+            a = agg[lg]
+            a[0] += token_count(t)
+            a[1] += 1
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "tok": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "docs": pa.array([agg[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("tok", alias_name="n_tokens"), Sum("docs", alias_name="n_docs"))
+    )
+
+
+def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing fingerprints: per doc, signature size + min/max hash
+    (deterministic scalars; full sets live in the stage output at scale)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = [fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_fp": pa.array([len(s) for s in sigs], pa.int64()),
+                "fp_min": pa.array(
+                    [int(s.min()) if len(s) else 0 for s in sigs],
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: hash text (md5, matching the SQL oracle), keep the
+    smallest doc_id per hash — hash-partition + per-group first
+    (SURVEY.md §7 'dedup = hash-partition + per-group first')."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hh = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids), "text_md5": pa.array(hh, pa.string())})
+
+    return (
+        ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def _token_hash_sets(sf_dir: str) -> dict[int, np.ndarray]:
+    """doc_id → sorted unique token-hash set (driver-side; the broadcast
+    verify table.  At scale this is the per-bucket verify stage's input,
+    not a global broadcast)."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        out[did] = np.unique(token_hashes(unique_terms(text)))
+    return out
+
+
+def _shingle_hash_sets(sf_dir: str, k: int = 3) -> dict[int, np.ndarray]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return {
+        did: shingle_hashes(text, k=k)
+        for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+
+
+def q_jaccard_pairs(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """Exact token-set Jaccard near-dup pairs (doc_a < doc_b, jac >= tau).
+
+    Each task compares its batch of docs against the broadcast token-set
+    table — O(n²/B) per task, embarrassingly parallel; the LSH variant
+    (q_dedup_minhash) is the subquadratic scale path."""
+    sets = _token_hash_sets(sf_dir)
+    sets_ref = ray.put(sets)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    class PairFinder:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+            self.all_ids = np.array(sorted(self.sets), dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a in batch.column("doc_id").to_pylist():
+                sa = self.sets[a]
+                for b in self.all_ids[self.all_ids > a]:
+                    j = jaccard(sa, self.sets[int(b)])
+                    if j >= tau:
+                        out_a.append(a)
+                        out_b.append(int(b))
+                        out_j.append(round(j, 6))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=64, concurrency=(2, 8))
+
+
+def q_dedup_minhash(sf_dir: str, tau: float = 0.4, num_hashes: int = 64,
+                    bands: int = 16) -> ray.data.Dataset:
+    """MinHash + LSH near-dup candidates, verified with exact Jaccard:
+    shingle → minhash → band → bucket groupby → in-bucket pairs →
+    verify (the canonical subquadratic dedup; ray_guide 'Aggregation at
+    scale')."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids, bnos, bhashes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sh = shingle_hashes(text, k=3)
+            sig = minhash_signature(sh, num_hashes)
+            bh = lsh_bands(sig, bands)
+            ids.extend([did] * bands)
+            bnos.extend(range(bands))
+            bhashes.extend(int(x) - (1 << 64 if x >= 1 << 63 else 0) for x in bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bnos, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.int64()),
+            }
+        )
+
+    buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # verify with the SAME similarity the sketch approximates: 3-gram
+    # shingle-set jaccard (token-set jaccard is q_jaccard_pairs' metric)
+    sets_ref = ray.put(_shingle_hash_sets(sf_dir))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = sorted(set(group.column("doc_id").to_pylist()))
+        out_a, out_b = [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                out_a.append(docs[i])
+                out_b.append(docs[j])
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+        )
+
+    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            # dedup candidate pairs within the batch, verify exact jaccard
+            t = batch.group_by(["doc_a", "doc_b"]).aggregate([])
+            a = t.column("doc_a").to_pylist()
+            b = t.column("doc_b").to_pylist()
+            jac = [jaccard(self.sets[x], self.sets[y]) for x, y in zip(a, b)]
+            keep = [i for i, j in enumerate(jac) if j >= tau]
+            return pa.table(
+                {
+                    "doc_a": pa.array([a[i] for i in keep], pa.int64()),
+                    "doc_b": pa.array([b[i] for i in keep], pa.int64()),
+                    "jaccard": pa.array([round(jac[i], 6) for i in keep], pa.float64()),
+                }
+            )
+
+    from ray.data.aggregate import Count
+
+    verified = pairs.map_batches(Verify, batch_format="pyarrow", zero_copy_batch=True,
+                                 concurrency=(2, 8))
+    # global pair dedup (a pair can surface from several bands)
+    return (
+        verified.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash near-dup pairs: 64-bit signatures, blocked on 4×16-bit
+    bands (a pair within Hamming<=3 shares >=1 exact band), verified by
+    exact Hamming distance."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids, bnos, keys, sigs = [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = int(simhash(text))
+            for b in range(4):
+                ids.append(did)
+                bnos.append(b)
+                keys.append((s >> (16 * b)) & 0xFFFF)
+                sigs.append(s - (1 << 64 if s >= 1 << 63 else 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bnos, pa.int32()),
+                "key": pa.array(keys, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_pylist()
+        sigs = group.column("sig").to_pylist()
+        uniq = sorted(set(zip(docs, sigs)))
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                h = int(
+                    hamming64(
+                        np.array([uniq[i][1]], np.int64).view(np.uint64),
+                        np.array([uniq[j][1]], np.int64).view(np.uint64),
+                    )[0]
+                )
+                if h <= max_hamming:
+                    out_a.append(uniq[i][0])
+                    out_b.append(uniq[j][0])
+                    out_h.append(h)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = buckets.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# --------------------------------------------------------------------------
+
+def _embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    o = np.argsort(ids)
+    return ids[o], mat[o]
+
+
+def q_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Brute-force cosine top-k against the first vector (baseline ANN:
+    per-batch numpy matmul vs a broadcast query matrix)."""
+    ids, mat = _embedding_matrix(sf_dir)
+    qv = mat[0]
+    q_ref = ray.put(qv)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.qn = np.linalg.norm(self.q)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            sims = (m @ self.q) / (np.linalg.norm(m, axis=1) * self.qn)
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid),
+                    "cosine": pa.array(np.round(sims, 6), pa.float64()),
+                }
+            )
+
+    scored = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4))
+    # per-batch top-k would pre-prune at scale; final exact top-k via sort
+    top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return pa.Table.from_pylist(top.take_all())
+
+
+def q_dedup_embedding(sf_dir: str, tau: float = 0.45) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= tau):
+    per-batch matmul against the broadcast (normalized) matrix."""
+    ids, mat = _embedding_matrix(sf_dir)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, norm))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.norm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.norm.T  # (batch, all)
+            out_a, out_b, out_c = [], [], []
+            for r in range(len(vid)):
+                mask = (self.ids > vid[r]) & (sims[r] >= tau)
+                for c in np.nonzero(mask)[0]:
+                    out_a.append(int(vid[r]))
+                    out_b.append(int(self.ids[c]))
+                    out_c.append(round(float(sims[r, c]), 6))
+            return pa.table(
+                {
+                    "vec_a": pa.array(out_a, pa.int64()),
+                    "vec_b": pa.array(out_b, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Pairs, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=256, concurrency=(1, 4))
+
+
+def q_ann_lsh(sf_dir: str, k: int = 10, planes: int = 12) -> pa.Table:
+    """LSH-bucketed ANN (the scale path): random-hyperplane signatures
+    bucket the vectors; search the query's bucket ± 1-bit probes, exact
+    cosine within candidates.  Falls back to brute force when the probe
+    set is too small (toy corpora)."""
+    from ..functions.hashing import splitmix64
+
+    ids, mat = _embedding_matrix(sf_dir)
+    dim = mat.shape[1]
+    # deterministic pseudo-random hyperplanes
+    seeds = splitmix64(np.arange(planes * dim, dtype=np.uint64) ^ np.uint64(0xA17))
+    H = ((seeds.astype(np.float64) / 2**64) - 0.5).reshape(planes, dim)
+    sig = (mat @ H.T > 0).astype(np.uint64)
+    codes = (sig << np.arange(planes, dtype=np.uint64)[None, :]).sum(axis=1)
+    qv, qcode = mat[0], codes[0]
+    cand = np.nonzero(
+        (codes == qcode)
+        | (np.vectorize(lambda c: bin(int(c) ^ int(qcode)).count("1"))(codes) <= 1)
+    )[0]
+    if len(cand) < k:
+        cand = np.arange(len(ids))
+    sims = (mat[cand] @ qv) / (np.linalg.norm(mat[cand], axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((ids[cand], -sims))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[cand][order], pa.int64()),
+            "cosine": pa.array(np.round(sims[order], 6), pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# events: windowed aggregation + sessionization
+# --------------------------------------------------------------------------
+
+def q_events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+    Partial-aggregates inside map_batches, final tiny groupby."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        win = ts // 3_600_000_000 * 3600  # epoch seconds of window start
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        import collections
+
+        agg = collections.defaultdict(lambda: [0, 0.0])
+        for w, e, v in zip(win, et, val):
+            a = agg[(int(w), e)]
+            a[0] += 1
+            a[1] += float(v)
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "window_s": pa.array([k[0] for k in ks], pa.int64()),
+                "event_type": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "val": pa.array([agg[k][1] for k in ks], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_s", "event_type"])
+        .aggregate(Sum("cnt", alias_name="n_events"), Sum("val", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(np.round(b.column("sum_value").to_numpy(zero_copy_only=False), 6)),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_sessions(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
+    """Sessionization: per user, number of sessions (gap > 30 min splits)
+    and events — ordered, partitioned log processing via
+    groupby(user).map_groups (ray_guide 'Streaming-shaped workloads')."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sess(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = np.sort(
+            group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        gaps = np.diff(ts) > gap_s * 1_000_000
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")

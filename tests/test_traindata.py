@@ -1,0 +1,187 @@
+"""Tests for the training-data operators: sketch correctness against
+exact recomputation (MinHash recall, SimHash locality), text-analysis
+kernels, multimodal plumbing."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from oscar_spatial_index_compare_ray.functions.minhash import (
+    hamming64,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+)
+from oscar_spatial_index_compare_ray.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_stats,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKernels:
+    def test_minhash_estimates_jaccard(self):
+        a = shingle_hashes("the quick brown fox jumps over the lazy dog " * 5, k=3)
+        b = shingle_hashes("the quick brown fox leaps over the lazy dog " * 5, k=3)
+        exact = jaccard(a, b)
+        sa = minhash_signature(a, 256)
+        sb = minhash_signature(b, 256)
+        est = (sa == sb).mean()
+        assert abs(est - exact) < 0.15
+
+    def test_minhash_identical_docs(self):
+        s = shingle_hashes("hello world again and again", k=3)
+        assert (minhash_signature(s) == minhash_signature(s.copy())).all()
+        assert (lsh_bands(minhash_signature(s)) == lsh_bands(minhash_signature(s))).all()
+
+    def test_simhash_locality(self):
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about databases and queries " * 10
+        h0 = np.array([simhash(base)], dtype=np.uint64)
+        h1 = np.array([simhash(near)], dtype=np.uint64)
+        h2 = np.array([simhash(far)], dtype=np.uint64)
+        assert hamming64(h0, h1)[0] < hamming64(h0, h2)[0]
+        assert hamming64(h0, h0)[0] == 0
+
+    def test_lang_id(self):
+        en, c1 = lang_id("the cat is on the mat and it is happy with you")
+        de, c2 = lang_id("der hund ist in den garten gelaufen und die katze auf das dach")
+        assert en == "en" and de == "de" and c1 > 0 and c2 > 0
+        assert lang_id("")[0] == "und"
+        assert lang_id("zzz qqq xxx")[0] == "und"
+
+    def test_quality_stats(self):
+        s = quality_stats("The cat, the cat, the cat!")
+        assert s["n_tokens"] == 6
+        assert s["n_unique_tokens"] == 2
+        assert 0 < s["punct_ratio"] < 1
+        assert s["repetition_ratio"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+        assert quality_stats("")["n_tokens"] == 0
+
+    def test_token_count(self):
+        assert token_count("a b c") == 3
+
+    def test_fingerprint_stable_and_robust(self):
+        t = "some long document text that goes on and on " * 8
+        f1, f2 = fingerprint(t), fingerprint(t)
+        assert (f1 == f2).all()
+        # small edit → most fingerprints survive (winnowing locality)
+        f3 = fingerprint(t.replace("long", "short", 1))
+        overlap = len(np.intersect1d(f1, f3)) / max(len(f1), 1)
+        assert overlap > 0.5
+        assert len(fingerprint("")) == 0
+
+
+class TestDedupPipelines:
+    def test_minhash_lsh_recall_vs_exact(self, ray_session):
+        """LSH candidates must recover the high-similarity exact
+        shingle-jaccard pairs (P[candidate] = 1-(1-j^4)^16 ≈ .99 at
+        j=0.7 with 16 bands × 4 rows)."""
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            _shingle_hash_sets,
+            q_dedup_minhash,
+        )
+
+        sets = _shingle_hash_sets(SF)
+        ids = sorted(sets)
+        exact = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = jaccard(sets[a], sets[b])
+                if j >= 0.4:
+                    exact[(a, b)] = j
+        lsh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF, tau=0.4).take_all()}
+        # precision: every verified LSH pair is a true exact pair
+        assert lsh <= set(exact)
+        strong = {p for p, j in exact.items() if j >= 0.7}
+        if strong:
+            assert len(lsh & strong) / len(strong) >= 0.9
+
+    def test_dedup_exact_minimal_keepers(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import q_dedup_exact
+
+        rows = q_dedup_exact(SF).take_all()
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        import hashlib
+
+        first = {}
+        for did, t in sorted(
+            zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        ):
+            h = hashlib.md5(t.encode()).hexdigest()
+            first.setdefault(h, did)
+        assert sorted(r["doc_id"] for r in rows) == sorted(first.values())
+
+    def test_ann_lsh_close_to_brute(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_ann_lsh,
+            q_ann_topk,
+        )
+
+        brute = [r["vec_id"] for r in q_ann_topk(SF, k=10).to_pylist()]
+        approx = q_ann_lsh(SF, k=10).column("vec_id").to_pylist()
+        # the approximate top-10 must contain the true top-1 and overlap well
+        assert brute[0] == approx[0]
+        assert len(set(brute) & set(approx)) >= 5
+
+
+class TestMultimodal:
+    def test_decode_stage_plumbing(self, ray_session):
+        import ray.data
+
+        from oscar_spatial_index_compare_ray.stages.multimodal import (
+            DecodeImages,
+            FakeImageCodec,
+            ResizeImages,
+            SampleFrames,
+            synthetic_media_table,
+        )
+
+        media = synthetic_media_table(48)
+        ds = ray.data.from_arrow(media)
+        out = ds.map_batches(
+            DecodeImages,
+            fn_constructor_kwargs={"decode_fn": FakeImageCodec()},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        )
+        rows = out.take_all()
+        assert len(rows) == 48
+        assert all(16 <= r["height"] <= 80 for r in rows)
+        # deterministic across runs
+        rows2 = ds.map_batches(
+            DecodeImages,
+            fn_constructor_kwargs={"decode_fn": FakeImageCodec()},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        ).take_all()
+        assert sorted(map(tuple, (r.values() for r in rows))) == sorted(
+            map(tuple, (r.values() for r in rows2))
+        )
+        resized = ds.map_batches(
+            ResizeImages,
+            fn_constructor_kwargs={"decode_fn": FakeImageCodec(), "max_side": 32},
+            batch_format="pyarrow", batch_size=16, concurrency=2,
+        ).take_all()
+        assert all(max(r["new_height"], r["new_width"]) <= 32 for r in resized)
+        frames = ds.filter(lambda r: r["media_type"] == "video").map_batches(
+            SampleFrames, batch_format="pyarrow", batch_size=16, concurrency=2
+        ).take_all()
+        assert len(frames) > 0 and all(r["frame_idx"] % 10 == 0 for r in frames)
+
+    def test_real_decode_raises(self):
+        from oscar_spatial_index_compare_ray.stages.multimodal import (
+            CodecNotAvailable,
+            real_decode,
+        )
+
+        with pytest.raises(CodecNotAvailable):
+            real_decode(b"xx", "image")
