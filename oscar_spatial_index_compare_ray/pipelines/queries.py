@@ -51,16 +51,13 @@ def q_assign_simple_pixel(sf_dir: str) -> ray.data.Dataset:
 
 def q_cell_doc_counts(sf_dir: str) -> ray.data.Dataset:
     """Per polygon cell: distinct docs + point count (group shuffle)."""
-    from ray.data.aggregate import Count
+    from ..stages.groupagg import grouped_count_distinct
 
     ds = assignments_for(sf_dir)
-    # distinct (cell, doc) then count per cell: pre-dedup per batch, final groupby
-    slim = ds.select_columns(["cell_id", "doc_id"]).map_batches(
-        lambda b: b.group_by(["cell_id", "doc_id"]).aggregate([]),
-        batch_format="pyarrow", zero_copy_batch=True,
+    return grouped_count_distinct(
+        ds.select_columns(["cell_id", "doc_id"]), ["cell_id"], "doc_id",
+        out_col="n_docs",
     )
-    uniq = slim.groupby(["cell_id", "doc_id"]).aggregate(Count(alias_name="dup"))
-    return uniq.groupby("cell_id").aggregate(Count(alias_name="n_docs"))
 
 
 def q_tile_join(sf_dir: str) -> ray.data.Dataset:

@@ -63,76 +63,97 @@ def tokenize_pages(corpus_dir: str) -> ray.data.Dataset:
 
 
 def doc_pixels(assignments: ray.data.Dataset, pixel_col: str) -> ray.data.Dataset:
-    """Distinct (doc_id, pixel) pairs from the assignments table."""
-    from ray.data.aggregate import Count
+    """Distinct (doc_id, pixel) pairs from the assignments table
+    (combiner + hash-partitioned vectorized dedup)."""
+    from ..stages.groupagg import grouped_distinct
 
-    slim = assignments.select_columns(["doc_id", pixel_col])
-    slim = slim.map_batches(
-        lambda b: b.group_by(["doc_id", pixel_col]).aggregate([]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return (
-        slim.groupby(["doc_id", pixel_col])
-        .aggregate(Count(alias_name="_dup"))
-        .drop_columns(["_dup"])
-    )
+    return grouped_distinct(assignments.select_columns(["doc_id", pixel_col]),
+                            ["doc_id", pixel_col])
 
 
 def pixel_doc_counts(doc_pix: ray.data.Dataset, pixel_col: str) -> tuple[np.ndarray, np.ndarray]:
     """(sorted pixel array, doc-count array) — the SMALL broadcast side
     of fm/pm classification, analogue of the per-trixel item counts in
-    OscarSearchSgIndex::State (src/OscarSearchSgIndex.cpp:365-391)."""
-    from ray.data.aggregate import Count
+    OscarSearchSgIndex::State (src/OscarSearchSgIndex.cpp:365-391).
 
-    rows = doc_pix.groupby(pixel_col).aggregate(Count(alias_name="n")).take_all()
-    pix = np.array([int(r[pixel_col]) for r in rows], dtype=np.int64)
-    n = np.array([int(r["n"]) for r in rows], dtype=np.int64)
-    o = np.argsort(pix)
-    return pix[o], n[o]
+    doc_pix is already distinct → a plain per-block count + driver merge
+    (the result is one row per populated pixel: small by construction)."""
+    def cnt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({pixel_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return batch.group_by([pixel_col]).aggregate([("doc_id", "count")]).rename_columns([pixel_col, "n"])
+
+    rows = doc_pix.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    # merge per-block partial counts driver-side (pixels may span blocks)
+    acc: dict[int, int] = {}
+    for r in rows:
+        acc[int(r[pixel_col])] = acc.get(int(r[pixel_col]), 0) + int(r["n"])
+    pix = np.array(sorted(acc), dtype=np.int64)
+    n = np.array([acc[int(p)] for p in pix], dtype=np.int64)
+    return pix, n
 
 
-class _TermClassifier:
-    """map_groups callable: one term's (doc, pixel) rows → per-pixel
-    fm/pm entries.  The broadcast lookup arrays are fetched from the
-    object store once per worker process (cached on self)."""
+class _BlockClassifier:
+    """map_batches callable over term-hash-partitioned blocks: ALL rows
+    of a term live in the block, so every (term, pixel) group completes
+    here.  Fully vectorized across the block's many terms (one lexsort);
+    broadcast per-pixel totals fetched once per actor.
 
-    __name__ = "classify_terms"  # map_groups wraps plain functions; give it a name
+    fm rows carry an EMPTY items list (reconstructable from postings,
+    like the reference's bare fmTrixel ids)."""
 
     def __init__(self, counts_ref, pixel_col: str):
         self.counts_ref = counts_ref
         self.pixel_col = pixel_col
         self._lookup = None
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "pixel": pa.array([], pa.int64()),
+                    "fm": pa.array([], pa.bool_()),
+                    "n": pa.array([], pa.int64()),
+                    "items": pa.array([], pa.list_(pa.int64())),
+                }
+            )
         if self._lookup is None:
             self._lookup = ray.get(self.counts_ref)
         tot_pix, tot_n = self._lookup
-        term = group.column("term")[0].as_py()
-        pix = group.column(self.pixel_col).to_numpy(zero_copy_only=False)
-        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((docs, pix))
-        pix, docs = pix[order], docs[order]
-        keep = np.ones(len(pix), dtype=bool)
-        keep[1:] = (pix[1:] != pix[:-1]) | (docs[1:] != docs[:-1])
-        pix, docs = pix[keep], docs[keep]
-        starts = np.nonzero(np.r_[True, pix[1:] != pix[:-1]])[0]
-        upix = pix[starts]
-        ns = np.diff(np.r_[starts, len(pix)])
-        idx = np.searchsorted(tot_pix, upix)
-        idx = np.clip(idx, 0, len(tot_pix) - 1)
-        totals = np.where(tot_pix[idx] == upix, tot_n[idx], -1)
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        pix = batch.column(self.pixel_col).to_numpy(zero_copy_only=False)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        uterms, tcode = np.unique(terms, return_inverse=True)
+        order = np.lexsort((docs, pix, tcode))
+        t, p, d = tcode[order], pix[order], docs[order]
+        keep = np.ones(len(t), dtype=bool)
+        keep[1:] = (t[1:] != t[:-1]) | (p[1:] != p[:-1]) | (d[1:] != d[:-1])
+        t, p, d = t[keep], p[keep], d[keep]
+        gstart = np.nonzero(np.r_[True, (t[1:] != t[:-1]) | (p[1:] != p[:-1])])[0]
+        gt, gp = t[gstart], p[gstart]
+        ns = np.diff(np.r_[gstart, len(t)])
+        idx = np.clip(np.searchsorted(tot_pix, gp), 0, max(len(tot_pix) - 1, 0))
+        totals = np.where(tot_pix[idx] == gp, tot_n[idx], -1) if len(tot_pix) else np.full(len(gp), -1)
         fm = ns == totals
-        items = [
-            None if f else docs[s: s + n].tolist()
-            for f, s, n in zip(fm, starts, ns)
-        ]
+        # items: per group, docs — empty for fm groups
+        g_of_row = np.repeat(np.arange(len(gstart)), ns)
+        row_keep = ~fm[g_of_row]
+        vals = d[row_keep]
+        counts = np.where(fm, 0, ns)
+        offsets = np.zeros(len(gstart) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        items = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()), pa.array(vals)
+        )
         return pa.table(
             {
-                "term": pa.array([term] * len(upix), pa.string()),
-                "pixel": pa.array(upix, pa.int64()),
+                "term": pa.array(uterms[gt].tolist(), pa.string()),
+                "pixel": pa.array(gp, pa.int64()),
                 "fm": pa.array(fm, pa.bool_()),
                 "n": pa.array(ns, pa.int64()),
-                "items": pa.array(items, pa.list_(pa.int64())),
+                "items": items,
             }
         )
 
@@ -143,13 +164,20 @@ def build_text_index(
     pixel_col: str = "h3_cell",
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """Full text-index build; returns the text_index Dataset."""
+    """Full text-index build; returns the text_index Dataset.
+
+    Wide steps: one hash join on doc_id (terms ⋈ doc-pixels), one hash
+    repartition on term (shuffle #2, src/OscarSearchSgIndex.cpp:91-103's
+    per-string work distribution), then vectorized per-block
+    classification — no per-group Python."""
     terms = tokenize_pages(corpus_dir)
     dp = doc_pixels(assignments, pixel_col)
     counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
     pairs = terms.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
-    return pairs.groupby("term").map_groups(
-        _TermClassifier(counts_ref, pixel_col), batch_format="pyarrow"
+    from ..stages.groupagg import _partitioned_apply
+
+    return _partitioned_apply(
+        pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col)
     )
 
 
@@ -157,19 +185,30 @@ def build_pixel_postings(doc_pix: ray.data.Dataset, pixel_col: str) -> ray.data.
     """pixel → sorted doc posting list (ItemIndex-store analogue) with a
     deterministic content-hash ``index_id`` — the coordination-free
     replacement for the shared mutex'd ItemIndexFactory
-    (src/OscarSearchSgIndex.cpp:190,196-197; SURVEY.md §2.4)."""
-    from ..functions.hashing import content_hash_u32_list
+    (src/OscarSearchSgIndex.cpp:190,196-197; SURVEY.md §2.4).
 
-    def collect(group: pa.Table) -> pa.Table:
-        docs = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        h = content_hash_u32_list((docs.astype(np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-        h_signed = h - (1 << 64) if h >= (1 << 63) else h
-        return pa.table(
+    Vectorized: hash-partitioned list collect, then per-block content
+    hashing of each list (the only per-list Python is the md5 call)."""
+    from ..functions.hashing import content_hash_u32_list
+    from ..stages.groupagg import grouped_sorted_unique_lists, _list_array_parts
+
+    lists = grouped_sorted_unique_lists(doc_pix, [pixel_col], "doc_id",
+                                        out_col="items", count_col=None)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        offsets, values = _list_array_parts(batch.column("items")) if batch.num_rows else (np.zeros(1, np.int64), np.empty(0, np.int64))
+        ids = []
+        u32 = (values.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        for i in range(batch.num_rows):
+            h = content_hash_u32_list(u32[offsets[i]: offsets[i + 1]])
+            ids.append(h - (1 << 64) if h >= (1 << 63) else h)
+        out = pa.table(
             {
-                "pixel": pa.array([group.column(pixel_col)[0].as_py()], pa.int64()),
-                "items": pa.array([docs.tolist()], pa.list_(pa.int64())),
-                "index_id": pa.array([h_signed], pa.int64()),
+                "pixel": batch.column(pixel_col),
+                "items": batch.column("items"),
+                "index_id": pa.array(ids, pa.int64()),
             }
         )
+        return out
 
-    return doc_pix.groupby(pixel_col).map_groups(collect, batch_format="pyarrow")
+    return lists.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)

@@ -92,7 +92,12 @@ class QueryEngine:
             e = self._terms[term]
             e[0].append(pixs[i])
             e[1].append(fms[i])
-            e[2].append(None if item_lists[i] is None else np.asarray(item_lists[i], np.int64))
+            # fm rows carry empty/absent item lists (reconstructed from
+            # postings on demand)
+            e[2].append(
+                None if (fms[i] or item_lists[i] is None)
+                else np.asarray(item_lists[i], np.int64)
+            )
         for term, (p, f, it) in self._terms.items():
             self._terms[term] = (np.asarray(p, np.int64), np.asarray(f, bool), it)
         self._vocab = np.array(sorted(self._terms), dtype=object)

@@ -1,0 +1,176 @@
+"""Vectorized grouped aggregation — the engine's high-throughput
+replacement for per-group Python.
+
+``Dataset.groupby(KEYS).map_groups(fn)`` calls ``fn`` once per group; at
+~10⁶ tiny (pixel, cell) groups the per-group Python dominates wall time
+(measured 254 s vs <10 s for the join itself at sf0.1).  The scalable
+pattern used here:
+
+    ds.map_batches(add 'part' = splitmix64(keys) % P)   # deterministic
+      .groupby('part')                                   # P groups only
+      .map_groups(vectorized_partition_agg)              # whole hash
+                                                         # partition at once
+
+Every key combo hashes to exactly ONE partition, so each partition can
+be aggregated independently and completely.  Inside, the work is pure
+Arrow/NumPy: pyarrow's C++ ``Table.group_by().aggregate([... 'list'])``
+collects per-group lists, then one lexsort + first-occurrence mask
+sorts and dedups ALL lists at once (offsets arithmetic, no Python
+loop).  This mirrors the reference's sort+unique post-pass
+(src/OscarSgIndex.cpp:184-191) at partition granularity.
+
+P (``num_partitions``) bounds both parallelism and per-task memory:
+choose it so a partition (≈ distinct-rows / P) fits a worker's heap.
+The shuffle itself is Ray's sort-based exchange on ONE small int
+column — cheap and robust on any cluster size.  (Ray 2.49's
+``repartition(keys=...)`` hash shuffle was tried first; its per-
+partition aggregator actors oversubscribe small CPU counts, so the
+portable pattern above is used instead.)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import splitmix64
+
+PART_COL = "__part"
+
+
+def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash across key columns (int or string)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch.column(k)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            vals = np.fromiter(
+                (zlib.crc32(s.encode()) for s in col.to_pylist()),
+                dtype=np.uint64, count=batch.num_rows,
+            )
+        else:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        h = splitmix64(h ^ vals)
+    return h
+
+
+def _with_part(ds: ray.data.Dataset, keys: list[str], num_partitions: int) -> ray.data.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(PART_COL, pa.array([], pa.int32()))
+        part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(PART_COL, pa.array(part))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: int,
+                       block_fn) -> ray.data.Dataset:
+    """Hash-partition by keys, apply a vectorized fn per whole partition."""
+    ds = _with_part(ds, keys, num_partitions)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        return block_fn(group.drop_columns([PART_COL]))
+
+    return ds.groupby(PART_COL).map_groups(per_part, batch_format="pyarrow")
+
+
+def _list_array_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) of a (chunked) list column, combined."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return (
+        arr.offsets.to_numpy(zero_copy_only=False),
+        arr.values.to_numpy(zero_copy_only=False),
+    )
+
+
+def sorted_unique_lists_block(batch: pa.Table, keys: list[str], value_col: str,
+                              out_col: str = "items", count_col: str | None = "n_items") -> pa.Table:
+    """One partition → one row per key combo with a SORTED UNIQUE list
+    of ``value_col``.  Fully vectorized (C++ group_by + one lexsort)."""
+    if batch.num_rows == 0:
+        fields = [(k, batch.schema.field(k).type) for k in keys]
+        fields.append((out_col, pa.list_(batch.schema.field(value_col).type)))
+        if count_col:
+            fields.append((count_col, pa.int64()))
+        return pa.table({n: pa.array([], t) for n, t in fields})
+    g = batch.group_by(keys).aggregate([(value_col, "list")])
+    offsets, values = _list_array_parts(g.column(f"{value_col}_list"))
+    n_groups = len(g)
+    counts = np.diff(offsets)
+    gidx = np.repeat(np.arange(n_groups, dtype=np.int64), counts)
+    order = np.lexsort((values, gidx))
+    gs, vs = gidx[order], values[order]
+    keep = np.ones(len(gs), dtype=bool)
+    keep[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+    gs2, vs2 = gs[keep], vs[keep]
+    new_counts = np.bincount(gs2, minlength=n_groups)
+    new_offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offsets[1:])
+    if new_offsets[-1] < 2**31:
+        out_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()), pa.array(vs2)
+        )
+    else:  # >2B values in one partition: large_list offsets
+        out_list = pa.LargeListArray.from_arrays(pa.array(new_offsets), pa.array(vs2))
+    cols = {k: g.column(k) for k in keys}
+    cols[out_col] = out_list
+    if count_col:
+        cols[count_col] = pa.array(new_counts, pa.int64())
+    return pa.table(cols)
+
+
+def grouped_sorted_unique_lists(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    num_partitions: int = 32,
+    out_col: str = "items",
+    count_col: str | None = "n_items",
+) -> ray.data.Dataset:
+    """Hash-partition by keys, vectorized per-partition list collect."""
+    return _partitioned_apply(
+        ds, keys, num_partitions,
+        lambda b: sorted_unique_lists_block(b, keys, value_col, out_col, count_col),
+    )
+
+
+def grouped_distinct(ds: ray.data.Dataset, keys: list[str],
+                     num_partitions: int = 32) -> ray.data.Dataset:
+    """DISTINCT over key columns: per-batch C++ dedup (combiner), hash
+    partition, per-partition final dedup.  No per-group Python."""
+    ds = ds.map_batches(
+        lambda b: b.group_by(keys).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _partitioned_apply(
+        ds, keys, num_partitions, lambda b: b.group_by(keys).aggregate([])
+    )
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset, keys: list[str], value_col: str,
+    out_col: str = "n", num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """count(DISTINCT value) per key combo, vectorized end-to-end.
+    Partitioning on ``keys`` alone keeps each key's values together, so
+    the distinct + count completes within one partition."""
+    slim = ds.map_batches(
+        lambda b: b.group_by(keys + [value_col]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], batch.schema.field(k).type) for k in keys},
+                 out_col: pa.array([], pa.int64())}
+            )
+        d = batch.group_by(keys + [value_col]).aggregate([])
+        g = d.group_by(keys).aggregate([(value_col, "count")])
+        return g.rename_columns(keys + [out_col])
+
+    return _partitioned_apply(slim, keys, num_partitions, cnt)
