@@ -53,9 +53,9 @@ def run_bench() -> dict:
 
     corpus = ensure_corpus(SF_DIR, MULT)
 
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    n_pages = pq.read_metadata(os.path.join(corpus, "pages.parquet")).num_rows
+    n_pages = pads.dataset(os.path.join(corpus, "pages.parquet")).count_rows()
 
     timings: dict[str, float] = {}
 

@@ -61,7 +61,7 @@ def build_assignments(
     grids: tuple[str, ...] = DEFAULT_GRIDS,
     level: int = 8,
     *,
-    pip_concurrency: int | tuple[int, int] = (2, 8),
+    pip_concurrency: int | tuple[int, int] = (2, 16),
     with_tiles: bool = True,
 ) -> ray.data.Dataset:
     """The flagship spatial-join + cell-assignment pipeline.
@@ -76,14 +76,14 @@ def build_assignments(
     )
     cells = read_small_arrow(corpus_dir, "cells")
     cells_ref = ray.put(cells.select(["cell_id", "polygon"]))
+    # task-based PIP (per-process cached index): elastic across any CPU
+    # count — the actor-pool variant (PipAssign) is for heavy state
+    from ..stages.pip import make_pip_task
+
     pts = pts.map_batches(
-        PipAssign,
-        fn_constructor_kwargs={"cells_ref": cells_ref},
+        make_pip_task(cells_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=32768,
-        concurrency=pip_concurrency,
-        num_cpus=1,
     )
     if with_tiles:
         pts = pts.map_batches(add_tile_id, batch_format="pyarrow", zero_copy_batch=True)

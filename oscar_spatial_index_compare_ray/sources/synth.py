@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import splitmix64
 from ..functions.text_extract import escape_text
 
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 5
 CACHE_ROOT = os.environ.get("OSIRAY_CACHE", "/tmp/osiray_cache")
 
 # World window (Europe-ish) — all mesh cells live inside it.
@@ -360,7 +360,22 @@ def ensure_corpus(sf_dir: str, multiplier: int = 1) -> str:
     tables.update(build_mesh_tables())
     tables["tiles"] = build_tiles_table()
     for name, t in tables.items():
-        pq.write_table(t, tmp / f"{name}.parquet")
+        if name == "pages" and t.num_rows > 16384:
+            # pages is the BIG input: write a DIRECTORY of part files so
+            # Ray's parquet reader parallelizes across files (a single
+            # file reads in ONE task regardless of row groups) — and so
+            # the layout matches the never-one-giant-file rule
+            d = tmp / "pages.parquet"
+            d.mkdir()
+            per = 16384
+            for i in range(0, t.num_rows, per):
+                pq.write_table(
+                    t.slice(i, per), d / f"part-{i // per:05d}.parquet",
+                    row_group_size=8192,
+                )
+        else:
+            # small row groups → parallel row-group scans for mid-size files
+            pq.write_table(t, tmp / f"{name}.parquet", row_group_size=8192)
     (tmp / "MANIFEST.json").write_text(
         json.dumps(
             {

@@ -159,6 +159,39 @@ class PolygonIndex:
         return p[o], i[o]
 
 
+_PROCESS_INDEX_CACHE: dict[str, "PolygonIndex"] = {}
+
+
+def make_pip_task(cells_ref, out_col: str = "cell_id"):
+    """Task-based PIP stage with a per-worker-process index cache.
+
+    The polygon index here is SMALL and cheap to build (tens of ms), so
+    plain tasks + a process-global cache beat an actor pool: tasks are
+    fully elastic (use every CPU at any cluster size, no pool ramp-up),
+    and each worker process still builds the index exactly once from
+    the broadcast ``ray.put`` ref.  Use the ``PipAssign`` actor pool
+    instead when the state is heavy (big polygon sets, models, GPUs) —
+    same semantics, explicit pool sizing."""
+    import pyarrow as _pa
+
+    key = cells_ref.hex() if hasattr(cells_ref, "hex") else str(id(cells_ref))
+
+    def pip(batch: _pa.Table) -> _pa.Table:
+        import ray as _ray
+
+        idx = _PROCESS_INDEX_CACHE.get(key)
+        if idx is None:
+            table = _ray.get(cells_ref) if not isinstance(cells_ref, pa.Table) else cells_ref
+            idx = PolygonIndex.from_arrow(table, "cell_id")
+            _PROCESS_INDEX_CACHE[key] = idx
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        cid = idx.assign_first(lat, lon)
+        return batch.append_column(out_col, pa.array(cid.astype(np.uint32), pa.uint32()))
+
+    return pip
+
+
 class PipAssign:
     """Actor-pool stage: add ``cell_id`` to a points batch.
 
