@@ -1,0 +1,91 @@
+"""Index persistence round trip + version gate + CLI analogues of the
+reference's apps (build/query/stats, apps/main*.cpp)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, sf_dir, tmp_path_factory):
+    from oscar_spatial_index_compare_ray.pipelines.persist import save_index
+
+    out = str(tmp_path_factory.mktemp("index"))
+    save_index(sf_dir, out, grid="h3", level=6)
+    return out
+
+
+def test_round_trip_equals_fresh_engine(index_dir, sf_dir):
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+    from oscar_spatial_index_compare_ray.pipelines.search import build_query_engine
+
+    loaded = load_engine(index_dir)
+    fresh = build_query_engine(sf_dir, grid="h3", level=6)
+    for q in ("table", "tab*", "table - window", "$region:region_001 table"):
+        assert loaded.complete(q).flaten().tolist() == fresh.complete(q).flaten().tolist()
+
+
+def test_layout_and_trixel_map(index_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for name in ("text_index", "postings", "trixel_data", "points"):
+        assert os.path.isdir(os.path.join(index_dir, name))
+    remap = pq.read_table(os.path.join(index_dir, "trixel_map.parquet"))
+    tid = remap.column("trixel_id").to_numpy()
+    pix = remap.column("pixel").to_numpy()
+    # dense uint32 remap, sorted by pixel (TrixelIdMap analogue)
+    assert (tid == np.arange(len(tid))).all()
+    assert (np.diff(pix) > 0).all()
+
+
+def test_version_gate(index_dir, tmp_path):
+    """Wrong format version → refuse to load (static-htm-index.cpp:19)."""
+    import shutil
+
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+
+    bad = tmp_path / "bad_index"
+    shutil.copytree(index_dir, bad)
+    meta = json.loads((bad / "INDEX_META.json").read_text())
+    meta["format_version"] = 99
+    (bad / "INDEX_META.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format version"):
+        load_engine(str(bad))
+
+
+def test_text_index_sorted_by_term(index_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "text_index"), columns=["term"])
+    terms = t.column("term").to_pylist()
+    assert terms == sorted(terms)  # row-group pruning depends on this
+
+
+def test_cli_query_and_stats(index_dir, capsys):
+    from oscar_spatial_index_compare_ray.cli import main
+
+    rc = main(["query", "--index", index_dir, "-q", "table", "--diff"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "items=" in out and "cells=" in out
+
+    rc = main(["stats", "--index", index_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pixels=" in out and "terms=" in out
+
+
+def test_cli_query_file_benchmark(index_dir, tmp_path, capsys):
+    from oscar_spatial_index_compare_ray.cli import main
+
+    qf = tmp_path / "queries.txt"
+    qf.write_text("table\ntable + window\n")
+    csv = tmp_path / "stats.csv"
+    rc = main(["query", "--index", index_dir, "--query-file", str(qf),
+               "--benchmark", str(csv)])
+    assert rc == 0
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == "id;cqr_us;flaten_us;cellCount;itemCount"
+    assert len(lines) == 3
