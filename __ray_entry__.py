@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_region": q.q_search_region,
         "search_rect": q.q_search_rect,
         "term_df": q.q_term_df,
+        "text_index": q.q_text_index,
+        "pixel_doc_counts": q.q_pixel_doc_counts,
     }
 
 
@@ -137,6 +139,22 @@ def oracle_sql() -> dict[str, str]:
             f"  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\W+'))) AS term"
             f"  FROM read_parquet('{c}/pages.parquet')"
             f") WHERE term <> '' GROUP BY term"
+        ),
+        # the FULL stage-B text-index build, recomputed in SQL on the
+        # arithmetic-expressible simple grid
+        "text_index": (
+            f"WITH pts AS (SELECT DISTINCT doc_id, {simple_expr} AS pixel FROM {points}), "
+            f"tox AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\W+'))) AS term "
+            f"        FROM read_parquet('{c}/pages.parquet')), "
+            f"tot AS (SELECT pixel, count(DISTINCT doc_id) AS total FROM pts GROUP BY pixel), "
+            f"tp AS (SELECT t.term, p.pixel, count(DISTINCT p.doc_id) AS n "
+            f"       FROM tox t JOIN pts p USING (doc_id) WHERE t.term <> '' GROUP BY 1, 2) "
+            f"SELECT tp.term, tp.pixel, (tp.n = tot.total) AS fm, tp.n "
+            f"FROM tp JOIN tot USING (pixel)"
+        ),
+        "pixel_doc_counts": (
+            f"SELECT {simple_expr} AS simple_cell, count(DISTINCT doc_id) AS n_docs "
+            f"FROM {points} GROUP BY 1"
         ),
     }
 

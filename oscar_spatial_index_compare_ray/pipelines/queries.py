@@ -228,3 +228,27 @@ def q_term_df(sf_dir: str) -> "ray.data.Dataset":
     corpus = ensure_corpus(sf_dir)
     terms = tokenize_pages(corpus)
     return terms.groupby("term").aggregate(Count(alias_name="df"))
+
+
+def q_text_index(sf_dir: str) -> "ray.data.Dataset":
+    """The FULL stage-B text-index build (tokenize → join doc-pixels →
+    per-(term,pixel) fm/pm classification) on the SQL-mirrorable simple
+    grid — giving the whole pipeline an independent DuckDB oracle."""
+    from .text_index import build_text_index
+
+    corpus = ensure_corpus(sf_dir)
+    assignments = assignments_for(sf_dir)
+    ti = build_text_index(corpus, assignments, pixel_col="simple_cell")
+    return ti.select_columns(["term", "pixel", "fm", "n"])
+
+
+def q_pixel_doc_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Per-pixel distinct doc counts on the simple grid (the broadcast
+    side of fm/pm classification, SQL-checked)."""
+    from ..stages.groupagg import grouped_count_distinct
+
+    ds = assignments_for(sf_dir)
+    return grouped_count_distinct(
+        ds.select_columns(["simple_cell", "doc_id"]), ["simple_cell"], "doc_id",
+        out_col="n_docs",
+    )

@@ -301,6 +301,21 @@ class QueryEngine:
         apps/main.cpp:184)."""
         return self.evaluate(parse(query))
 
+    def complete_treed(self, query: str):
+        """Lazy evaluation: leaves eager, set ops deferred — the TreedCQR
+        path (CQR-type template param analogue,
+        include/hic/static-htm-index.h:60-70; materialize with .to_cqr())."""
+        from .cqr import TreedCQR
+
+        def go(node: Node):
+            if isinstance(node, SetOp):
+                return go(node.left).apply(node.op, go(node.right))
+            if isinstance(node, AllToFull):
+                return go(node.child).all_to_full()
+            return TreedCQR.from_cqr(self.evaluate(node))
+
+        return go(parse(query))
+
     @lru_cache(maxsize=256)
     def flatten_query(self, query: str) -> tuple:
         """Cached query → sorted doc-id tuple (HCQRIndexWithCache

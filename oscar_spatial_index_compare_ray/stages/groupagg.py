@@ -174,3 +174,56 @@ def grouped_count_distinct(
         return g.rename_columns(keys + [out_col])
 
     return _partitioned_apply(slim, keys, num_partitions, cnt)
+
+
+def salted_sorted_unique_lists(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    num_partitions: int = 32,
+    salt_buckets: int = 8,
+    out_col: str = "items",
+    count_col: str | None = "n_items",
+) -> ray.data.Dataset:
+    """Skew-safe variant of grouped_sorted_unique_lists: two-level
+    aggregation with a SALT on the grouping key.
+
+    Hot keys (dense urban pixels, stop-word terms — SURVEY.md §4) make a
+    single partition arbitrarily fat.  Level 1 groups by
+    (keys..., salt = splitmix64(value) % S): a hot key's rows split
+    across S salted sub-groups, each collected independently (bounded
+    task size).  Level 2 re-groups the S partial lists per key and
+    merges them (vectorized list-concat + sort-unique).  Results are
+    identical to the unsalted path for any input; tests assert it.
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__salt", pa.array([], pa.int32()))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (splitmix64(v.view(np.uint64) ^ np.uint64(0x5A17)) % np.uint64(salt_buckets)).astype(np.int32)
+        return batch.append_column("__salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    partial = _partitioned_apply(
+        salted, keys + ["__salt"], num_partitions,
+        lambda b: sorted_unique_lists_block(b, keys + ["__salt"], value_col, out_col, None),
+    )
+
+    def merge_partials(batch: pa.Table) -> pa.Table:
+        """Concat each key's salted partial lists, sort+unique once."""
+        if batch.num_rows == 0:
+            fields = {k: pa.array([], batch.schema.field(k).type) for k in keys}
+            fields[out_col] = pa.array([], batch.schema.field(out_col).type)
+            if count_col:
+                fields[count_col] = pa.array([], pa.int64())
+            return pa.table(fields)
+        b = batch.drop_columns(["__salt"])
+        # explode partial lists back to rows, then collect per key
+        offs, vals = _list_array_parts(b.column(out_col))
+        counts = np.diff(offs)
+        flat = {k: b.column(k).take(pa.array(np.repeat(np.arange(b.num_rows), counts))) for k in keys}
+        flat_tbl = pa.table({**flat, value_col: pa.array(vals)})
+        return sorted_unique_lists_block(flat_tbl, keys, value_col, out_col, count_col)
+
+    return _partitioned_apply(partial, keys, num_partitions, merge_partials)
