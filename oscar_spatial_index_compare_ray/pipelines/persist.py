@@ -56,6 +56,10 @@ def save_index(
     corpus = ensure_corpus(sf_dir, multiplier)
     pixel_col = f"{grid}_cell"
     os.makedirs(out_dir, exist_ok=True)
+    # write_parquet ADDS part files to an existing dir — a rebuild into
+    # the same location must replace, not append
+    for sub in ("text_index", "postings", "trixel_data", "points"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
 
     assignments = build_assignments(
         corpus, grids=(grid,), level=level, with_tiles=False
