@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": td.q_ann_lsh,
         "events_window": td.q_events_window,
         "sessions": td.q_sessions,
+        "multimodal_decode": td.q_multimodal_decode,
+        "search_hcqr_union": q.q_search_hcqr_union,
         "extract_points": q.q_extract_points,
         "assign_cells": q.q_assign_cells,
         "assign_simple_pixel": q.q_assign_simple_pixel,
@@ -182,6 +184,19 @@ def _traindata_oracles() -> dict[str, str]:
             f"FROM documents GROUP BY lang"
         ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        # fake-codec arithmetic recomputed from md5 bytes (little-endian):
+        # height = 16 + (h64 & 63); width = 16 + ((h64>>6) & 63);
+        # mean_pixel = (h64>>12) % 256 — only the low 3 md5 bytes matter
+        "multimodal_decode": (
+            "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents), "
+            "b AS (SELECT media_id, "
+            "  CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS b0, "
+            "  CAST(('0x' || substr(h, 3, 2)) AS BIGINT) AS b1, "
+            "  CAST(('0x' || substr(h, 5, 2)) AS BIGINT) AS b2 FROM m) "
+            "SELECT media_id, CAST(16 + (b0 % 64) AS INT) AS height, "
+            "CAST(16 + ((b0 // 64) + b1 * 4) % 64 AS INT) AS width, "
+            "CAST(((b1 // 16) + b2 * 16) % 256 AS DOUBLE) AS mean_pixel FROM b"
+        ),
         "jaccard_pairs": (
             f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents) "
             f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
@@ -260,6 +275,7 @@ def _search_oracles(c: str) -> dict[str, str]:
         "search_exact": f"SELECT doc_id FROM ({a})",
         "search_prefix": f"SELECT doc_id FROM ({prefix('tab')})",
         "search_union": f"({a}) UNION ({b})",
+        "search_hcqr_union": f"({a}) UNION ({b})",
         "search_intersect": f"({a}) INTERSECT ({b})",
         "search_diff": f"({a}) EXCEPT ({b})",
         "search_symdiff": f"(({a}) EXCEPT ({b})) UNION (({b}) EXCEPT ({a}))",

@@ -252,3 +252,26 @@ def q_pixel_doc_counts(sf_dir: str) -> "ray.data.Dataset":
         ds.select_columns(["simple_cell", "doc_id"]), ["simple_cell"], "doc_id",
         out_col="n_docs",
     )
+
+
+def q_search_hcqr_union(sf_dir: str) -> pa.Table:
+    """'table + window' evaluated through the HCQR TREE path (hierarchical
+    merge with full-match absorption) — same oracle as search_union, so
+    the driver gate proves flat-CQR/HCQR agreement (the reference's
+    debugDiff invariant, apps/mainq.cpp:399-482)."""
+    from .search import build_query_engine
+    from ..query.hcqr import HCQR
+    from ..query.parser import parse, SetOp, AllToFull
+
+    eng = build_query_engine(sf_dir, grid="h3", level=8)
+    leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+
+    def go(node):
+        if isinstance(node, SetOp):
+            return go(node.left).apply(node.op, go(node.right))
+        if isinstance(node, AllToFull):
+            return go(node.child).all_to_full()
+        return HCQR.from_cqr(eng.evaluate(node), eng.grid, eng.level, leaf_pixels)
+
+    docs = go(parse("table + window")).items()
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})

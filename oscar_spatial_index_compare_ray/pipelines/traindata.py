@@ -543,3 +543,40 @@ def q_sessions(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# multimodal (stub codec; real Ray plumbing — stages/multimodal.py)
+# --------------------------------------------------------------------------
+
+def q_multimodal_decode(sf_dir: str) -> ray.data.Dataset:
+    """Image-decode pipeline over an opaque binary column: documents'
+    text bytes play the payload role; the deterministic FakeImageCodec
+    plays the decoder (sandbox has no image libs — swap for PIL on a
+    real cluster).  Actor-pool map_batches, small batches (binary
+    payloads), typed metadata out — the SQL oracle recomputes the
+    fake-decode arithmetic from md5 bytes independently."""
+    from ..stages.multimodal import DecodeImages, FakeImageCodec
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["image/png"] * len(ids), pa.string()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(
+        DecodeImages,
+        fn_constructor_kwargs={"decode_fn": FakeImageCodec()},
+        batch_format="pyarrow",
+        batch_size=64,          # binary payloads: small batches
+        concurrency=(1, 4),     # actor pool: codec held per actor
+    )
