@@ -42,15 +42,24 @@ PART_COL = "__part"
 
 
 def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
-    """Deterministic uint64 hash across key columns (int or string)."""
+    """Deterministic uint64 hash across key columns (int or string).
+
+    Strings go through C++ dictionary-encode first so crc32 runs once
+    per DISTINCT value, not per row (a 20M-row batch with a 3k vocab
+    does 3k Python hash calls, not 20M)."""
+    import pyarrow.compute as pc
+
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for k in keys:
         col = batch.column(k)
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            vals = np.fromiter(
-                (zlib.crc32(s.encode()) for s in col.to_pylist()),
-                dtype=np.uint64, count=batch.num_rows,
+            d = pc.dictionary_encode(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            dict_vals = d.dictionary.to_pylist()
+            uniq_h = np.fromiter(
+                (zlib.crc32(s.encode()) for s in dict_vals),
+                dtype=np.uint64, count=len(dict_vals),
             )
+            vals = uniq_h[d.indices.to_numpy(zero_copy_only=False)]
         else:
             vals = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         h = splitmix64(h ^ vals)
