@@ -103,16 +103,20 @@ class _BlockClassifier:
     fm rows carry an EMPTY items list (reconstructable from postings,
     like the reference's bare fmTrixel ids)."""
 
-    def __init__(self, counts_ref, pixel_col: str):
+    def __init__(self, counts_ref, pixel_col: str, term_col: str = "term"):
         self.counts_ref = counts_ref
         self.pixel_col = pixel_col
+        self.term_col = term_col
         self._lookup = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out_term_type = (
+            pa.string() if self.term_col == "term" else pa.int64()
+        )
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "term": pa.array([], pa.string()),
+                    self.term_col: pa.array([], out_term_type),
                     "pixel": pa.array([], pa.int64()),
                     "fm": pa.array([], pa.bool_()),
                     "n": pa.array([], pa.int64()),
@@ -123,10 +127,11 @@ class _BlockClassifier:
             self._lookup = ray.get(self.counts_ref)
         tot_pix, tot_n = self._lookup
         # C++ dictionary-encode: term codes without materializing Python
-        # strings (np.unique over object arrays measured 10× slower)
+        # strings (np.unique over object arrays measured 10× slower);
+        # int64 term-hash columns skip the encode entirely
         import pyarrow.compute as pc
 
-        tcol = batch.column("term")
+        tcol = batch.column(self.term_col)
         d = pc.dictionary_encode(tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol)
         term_dict = d.dictionary
         tcode = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -156,7 +161,7 @@ class _BlockClassifier:
         out_terms = term_dict.take(pa.array(gt, pa.int64()))  # C++ gather
         return pa.table(
             {
-                "term": out_terms,
+                self.term_col: out_terms,
                 "pixel": pa.array(gp, pa.int64()),
                 "fm": pa.array(fm, pa.bool_()),
                 "n": pa.array(ns, pa.int64()),
@@ -165,27 +170,132 @@ class _BlockClassifier:
         )
 
 
+def _hash_terms(batch: pa.Table) -> pa.Table:
+    """(doc_id, term) → (doc_id, term_hash): the wide exchanges carry an
+    int64 instead of strings.  64-bit stable hash per DISTINCT term of
+    the batch (dictionary-encode first); string↔hash mapping travels in
+    the tiny vocab side table."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import token_hashes
+
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "term_hash": pa.array([], pa.int64())})
+    col = batch.column("term")
+    d = pc.dictionary_encode(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    uniq = token_hashes(d.dictionary.to_pylist()).view(np.int64)
+    th = uniq[d.indices.to_numpy(zero_copy_only=False)]
+    return pa.table({"doc_id": batch.column("doc_id"), "term_hash": pa.array(th, pa.int64())})
+
+
+def build_vocab(terms: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (term_hash, term) — the FlatTrie analogue's string side
+    (small: one row per distinct corpus term)."""
+    from ..stages.groupagg import grouped_distinct
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import token_hashes
+
+        if batch.num_rows == 0:
+            return pa.table({"term_hash": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        col = batch.column("term")
+        d = pc.dictionary_encode(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        uniq = token_hashes(d.dictionary.to_pylist()).view(np.int64)
+        th = uniq[d.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({"term_hash": pa.array(th, pa.int64()), "term": col})
+
+    return grouped_distinct(
+        terms.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True),
+        ["term_hash", "term"],
+    )
+
+
 def build_text_index(
     corpus_dir: str,
     assignments: ray.data.Dataset,
     pixel_col: str = "h3_cell",
     num_partitions: int = 16,
+    hash_exchange: bool = False,
 ) -> ray.data.Dataset:
     """Full text-index build; returns the text_index Dataset.
 
     Wide steps: one hash join on doc_id (terms ⋈ doc-pixels), one hash
     repartition on term (shuffle #2, src/OscarSearchSgIndex.cpp:91-103's
     per-string work distribution), then vectorized per-block
-    classification — no per-group Python."""
+    classification — no per-group Python.
+
+    ``hash_exchange=True`` replaces term strings with 64-bit hashes in
+    the wide exchanges (strings re-attached from a distinct vocab at
+    the end).  Measured SLOWER at sf0.1 on one node (118 s vs 72 s: the
+    vocab distinct + re-attach pass cost more than the string bytes
+    saved through a local object store); on a multi-node cluster where
+    shuffle bytes cross the network the tradeoff flips — hence the
+    flag, default off."""
+    import ray as _ray
+
     terms = tokenize_pages(corpus_dir)
+    if not hash_exchange:
+        dp = doc_pixels(assignments, pixel_col)
+        counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
+        pairs = terms.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
+        from ..stages.groupagg import _partitioned_apply
+
+        return _partitioned_apply(
+            pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col)
+        )
+    vocab = build_vocab(terms).materialize()  # small: one row per distinct term
+    hashed = terms.map_batches(_hash_terms, batch_format="pyarrow", zero_copy_batch=True)
     dp = doc_pixels(assignments, pixel_col)
     counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
-    pairs = terms.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
+    pairs = hashed.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
     from ..stages.groupagg import _partitioned_apply
 
-    return _partitioned_apply(
-        pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col)
+    entries = _partitioned_apply(
+        pairs, ["term_hash"], num_partitions,
+        _BlockClassifier(counts_ref, pixel_col, term_col="term_hash"),
     )
+
+    # re-attach term strings from the broadcast vocab
+    vblocks = [b for b in _ray.get(vocab.to_arrow_refs()) if b.num_rows]
+    vt = pa.concat_tables(vblocks).combine_chunks()
+    vh = vt.column("term_hash").to_numpy(zero_copy_only=False)
+    order = np.argsort(vh)
+    vocab_ref = _ray.put((vh[order], vt.column("term").take(pa.array(order))))
+
+    class AttachTerm:
+        def __init__(self):
+            self.vh, self.vs = _ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "pixel": pa.array([], pa.int64()),
+                        "fm": pa.array([], pa.bool_()),
+                        "n": pa.array([], pa.int64()),
+                        "items": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            th = batch.column("term_hash").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.vh, th)
+            terms_col = self.vs.take(pa.array(idx, pa.int64()))
+            return pa.table(
+                {
+                    "term": terms_col,
+                    "pixel": batch.column("pixel"),
+                    "fm": batch.column("fm"),
+                    "n": batch.column("n"),
+                    "items": batch.column("items"),
+                }
+            )
+
+    return entries.map_batches(AttachTerm, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=(1, 8))
 
 
 def build_pixel_postings(doc_pix: ray.data.Dataset, pixel_col: str) -> ray.data.Dataset:
