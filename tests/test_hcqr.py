@@ -67,3 +67,36 @@ def test_depth_and_node_count(mk):
     h = mk("table")
     assert h.depth() == LEVEL + 1  # root-level hex .. leaf
     assert h.number_of_nodes() >= h.depth()
+
+
+def test_hcqr_random_cqrs_match_flat(eng, mk):
+    """Randomized CQR pairs (not just term queries): tree ops must agree
+    with flat ops after flatten for every op."""
+    import numpy as np
+
+    from oscar_spatial_index_compare_ray.query.cqr import CQR
+    from oscar_spatial_index_compare_ray.query.hcqr import HCQR
+
+    rng = np.random.default_rng(11)
+    leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+
+    def random_cqr():
+        pick = rng.choice(leaf_pixels, size=40, replace=False)
+        pix, fm, items = [], [], []
+        for p in np.sort(pick):
+            docs = eng._post(int(p))
+            if rng.random() < 0.3 or len(docs) == 1:
+                pix.append(int(p)); fm.append(True); items.append(None)
+            else:
+                take = rng.random(len(docs)) < 0.7
+                if take.sum() == 0:
+                    continue
+                pix.append(int(p)); fm.append(False); items.append(docs[take])
+        return CQR.from_rows(pix, fm, items, eng._post)
+
+    for _ in range(10):
+        a, b = random_cqr(), random_cqr()
+        ha = HCQR.from_cqr(a, eng.grid, LEVEL, leaf_pixels)
+        hb = HCQR.from_cqr(b, eng.grid, LEVEL, leaf_pixels)
+        for op in ("+", " ", "-"):
+            assert a.apply(op, b).flaten().tolist() == ha.apply(op, hb).items().tolist(), op

@@ -198,3 +198,28 @@ def test_empty_term_and_parse_errors(engines):
         parse("a +")
     eng = next(iter(engines.values()))
     assert eng.complete('""').flaten().tolist() == []  # empty string → empty result
+
+
+def test_poly_leaf(engines, brute, corpus):
+    """$poly: docs with a point inside an explicit polygon ring."""
+    import pyarrow.parquet as pq
+
+    from oscar_spatial_index_compare_ray.stages.pip import PolygonIndex
+
+    ring = [(46.0, 6.0), (46.0, 14.0), (52.0, 14.0), (52.0, 6.0)]
+    q = "$poly:" + ",".join(f"{a},{o}" for a, o in ring)
+    points = pq.read_table(f"{corpus}/points.parquet")
+    pidx = PolygonIndex(np.array([1]), [np.asarray(ring, dtype=np.float64)])
+    inside = pidx.assign_first(points["lat"].to_numpy(), points["lon"].to_numpy()) == 1
+    expected = sorted(set(points["doc_id"].to_numpy()[inside].tolist()))
+    for gname, eng in engines.items():
+        got = sorted(eng.complete(q).flaten().tolist())
+        assert got == expected, gname
+
+
+def test_complete_treed_matches_eager(engines):
+    for gname, eng in engines.items():
+        for q in ("table + window", "(table + window) - merge", "$full( tab* )"):
+            eager = eng.complete(q).flaten().tolist()
+            lazy = eng.complete_treed(q).flaten().tolist()
+            assert eager == lazy, (gname, q)
