@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": td.q_events_window,
         "sessions": td.q_sessions,
         "multimodal_decode": td.q_multimodal_decode,
+        "token_count_bpe": td.q_token_count_bpe,
         "search_hcqr_union": q.q_search_hcqr_union,
         "extract_points": q.q_extract_points,
         "assign_cells": q.q_assign_cells,

@@ -33,3 +33,19 @@ def tokenize(text: str) -> list[str]:
 def unique_terms(text: str) -> list[str]:
     """Distinct tokens, sorted — the per-document term set."""
     return sorted(set(tokenize(text)))
+
+
+# GPT-2-style pretokenizer pattern: contractions, words, numbers,
+# punctuation runs, whitespace runs — the "BPE-ish" token counter for
+# training-data budgeting (counts pretokens, the unit BPE merges over).
+_BPE_ISH_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Approximate LLM token count: GPT-2-style pretokens (whitespace +
+    punctuation aware), no merges.  Deterministic, pure."""
+    if not text:
+        return 0
+    return sum(1 for m in _BPE_ISH_RE.finditer(text) if not m.group().isspace())

@@ -580,3 +580,20 @@ def q_multimodal_decode(sf_dir: str) -> ray.data.Dataset:
         batch_size=64,          # binary payloads: small batches
         concurrency=(1, 4),     # actor pool: codec held per actor
     )
+
+
+def q_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish (GPT-2-pretokenizer-style) token counts per doc — the
+    LLM-budget token counter.  Rows-only at the driver gate (the
+    pretokenizer regex has no clean SQL mirror); unit-tested in
+    tests/test_functions.py."""
+    from ..functions.tokenize import bpe_ish_token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = [bpe_ish_token_count(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids), "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)

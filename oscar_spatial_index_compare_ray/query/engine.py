@@ -31,6 +31,7 @@ from .cqr import CQR
 from .parser import (
     AllToFull,
     CellLeaf,
+    Dilate,
     NearLeaf,
     Node,
     ParseError,
@@ -274,6 +275,30 @@ class QueryEngine:
             mask[order] = True
         return self._cqr_from_point_mask(mask)
 
+    def _dilate_cqr(self, cqr: CQR, km: float) -> CQR:
+        """CELL_DILATION (engine extension): add, as full-match, every
+        POPULATED pixel whose bbox intersects the km-grown bbox of any
+        matched pixel.  The reference parses this op but throws
+        (static-htm-index.h:253-267); semantics are pixel-granular, like
+        allToFull."""
+        if not len(cqr.pixels) or km <= 0:
+            return cqr
+        la0, la1, lo0, lo1 = self.grid.bbox(cqr.pixels.view(np.uint64))
+        dlat = km / 111.195
+        mid = np.clip(np.abs((la0 + la1) / 2.0), 0.0, 89.0)
+        dlon = dlat / np.cos(np.radians(mid))
+        la0, la1, lo0, lo1 = la0 - dlat, la1 + dlat, lo0 - dlon, lo1 + dlon
+        # test every populated pixel against the grown boxes (vectorized
+        # per populated pixel; grown-box count = |query pixels|, small)
+        pop = np.array(sorted(self._postings), dtype=np.int64)
+        pl0, pl1, po0, po1 = self.grid.bbox(pop.view(np.uint64))
+        hit = np.zeros(len(pop), dtype=bool)
+        for k in range(len(la0)):
+            hit |= (pl1 >= la0[k]) & (pl0 <= la1[k]) & (po1 >= lo0[k]) & (po0 <= lo1[k])
+        extra = pop[hit]
+        dil = self._cqr_from_rows(extra, [True] * len(extra), [None] * len(extra))
+        return cqr.union(dil)
+
     # -- evaluation ------------------------------------------------------
     def evaluate(self, node: Node) -> CQR:
         if isinstance(node, TermLeaf):
@@ -292,6 +317,8 @@ class QueryEngine:
             return self._near_cqr(node)
         if isinstance(node, AllToFull):
             return self.evaluate(node.child).all_to_full()
+        if isinstance(node, Dilate):
+            return self._dilate_cqr(self.evaluate(node.child), node.km)
         if isinstance(node, SetOp):
             return self.evaluate(node.left).apply(node.op, self.evaluate(node.right))
         raise ParseError(f"unsupported node {node!r}")

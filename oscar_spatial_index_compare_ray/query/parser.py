@@ -83,6 +83,12 @@ class AllToFull(Node):
 
 
 @dataclass
+class Dilate(Node):
+    km: float = 0.0
+    child: Node = None
+
+
+@dataclass
 class SetOp(Node):
     op: str = " "  # '+' | ' ' | '-' | '^'
     left: Node = None
@@ -228,6 +234,20 @@ class _Parser:
             if self.next() != ")":
                 raise ParseError("expected ')' after $full")
             return AllToFull(e)
+        if t.startswith("$dilate:"):
+            # CELL_DILATION analogue — an engine extension (the reference
+            # parses the op but throws in every interpreter,
+            # static-htm-index.h:253-267):  $dilate:KM ( expr )
+            try:
+                km = float(t[len("$dilate:"):])
+            except ValueError:
+                raise ParseError(f"bad dilation distance in {t!r}") from None
+            if self.next() != "(":
+                raise ParseError("$dilate:KM needs parentheses")
+            e = self.parse_expr()
+            if self.next() != ")":
+                raise ParseError("expected ')' after $dilate")
+            return Dilate(km, e)
         if t in _OPS or t == ")":
             raise ParseError(f"unexpected token {t!r}")
         if t.startswith("$") and not t.startswith("$item:"):

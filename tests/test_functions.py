@@ -98,3 +98,18 @@ class TestHashing:
     def test_token_hashes(self):
         h = token_hashes(["a", "b", "a"])
         assert h[0] == h[2] and h[0] != h[1]
+
+
+class TestBpeIshTokens:
+    def test_counts(self):
+        from oscar_spatial_index_compare_ray.functions.tokenize import (
+            bpe_ish_token_count,
+        )
+
+        assert bpe_ish_token_count("") == 0
+        assert bpe_ish_token_count("hello world") == 2
+        # contraction splits: "don" + "'t"
+        assert bpe_ish_token_count("don't") == 2
+        # punctuation is its own token; numbers separate from words
+        assert bpe_ish_token_count("a1 b!") == 4
+        assert bpe_ish_token_count("x" * 10) == 1

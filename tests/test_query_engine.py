@@ -223,3 +223,34 @@ def test_complete_treed_matches_eager(engines):
             eager = eng.complete(q).flaten().tolist()
             lazy = eng.complete_treed(q).flaten().tolist()
             assert eager == lazy, (gname, q)
+
+
+def test_dilate_op(engines):
+    """$dilate:KM(expr): adds every populated pixel whose bbox intersects
+    the km-grown bboxes of matched pixels, as full-match (CELL_DILATION
+    engine extension; reference throws, static-htm-index.h:253-267)."""
+    for gname, eng in engines.items():
+        base = eng.complete("table")
+        dil = eng.complete("$dilate:30 ( table )")
+        # superset of base, monotone in km
+        assert set(base.flaten().tolist()) <= set(dil.flaten().tolist())
+        bigger = eng.complete("$dilate:100 ( table )")
+        assert set(dil.flaten().tolist()) <= set(bigger.flaten().tolist())
+        # independent recomputation of the expected doc set
+        la0, la1, lo0, lo1 = eng.grid.bbox(base.pixels.view(np.uint64))
+        dlat = 30.0 / 111.195
+        mid = np.clip(np.abs((la0 + la1) / 2.0), 0.0, 89.0)
+        dlon = dlat / np.cos(np.radians(mid))
+        pop = np.array(sorted(eng._postings), dtype=np.int64)
+        pl0, pl1, po0, po1 = eng.grid.bbox(pop.view(np.uint64))
+        expected_docs = set(base.flaten().tolist())
+        for k in range(len(la0)):
+            m = (pl1 >= la0[k] - dlat) & (pl0 <= la1[k] + dlat) & \
+                (po1 >= lo0[k] - dlon[k]) & (po0 <= lo1[k] + dlon[k])
+            for p in pop[m]:
+                expected_docs |= set(eng._post(int(p)).tolist())
+        assert set(dil.flaten().tolist()) == expected_docs, gname
+        assert dil.cell_count() >= base.cell_count()
+        # zero dilation is identity
+        same = eng.complete("$dilate:0 ( table )")
+        assert same.flaten().tolist() == base.flaten().tolist()
