@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": td.q_sessions,
         "multimodal_decode": td.q_multimodal_decode,
         "token_count_bpe": td.q_token_count_bpe,
+        "dedup_clusters": td.q_dedup_clusters,
+        "events_hopping": td.q_events_hopping,
         "search_hcqr_union": q.q_search_hcqr_union,
         "extract_points": q.q_extract_points,
         "assign_cells": q.q_assign_cells,
@@ -226,6 +228,15 @@ def _traindata_oracles() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_s, "
             "event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            "WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 - o.o AS BIGINT) AS window_s, "
+            "            event_type, value FROM events "
+            "            CROSS JOIN (SELECT unnest([0, 3600]) AS o) o "
+            "            WHERE epoch(ts) >= floor(epoch(ts) / 3600) * 3600 - o.o "
+            "              AND epoch(ts) < floor(epoch(ts) / 3600) * 3600 - o.o + 7200) "
+            "SELECT window_s, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM w GROUP BY 1, 2"
         ),
         "sessions": (
             "WITH o AS (SELECT user_id, ts, "

@@ -597,3 +597,92 @@ def q_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_id": pa.array(ids), "n_bpe_tokens": pa.array(n, pa.int64())})
 
     return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_clusters(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """Near-dup CLUSTERS from verified pairs: connected components via
+    iterative min-label propagation (distributed-friendly: each round is
+    a groupby-min over edge endpoints; converges in O(diameter) rounds),
+    then one keeper (min doc_id) per cluster.
+
+    Output: (doc_id, keeper) for every doc in a >=2-doc cluster.
+    Rows-only at the gate; pytest cross-checks against a driver-side
+    union-find."""
+    pairs = [(r["doc_a"], r["doc_b"]) for r in q_jaccard_pairs(sf_dir, tau).take_all()]
+    # min-label propagation over the edge list (kept as arrays so each
+    # round is vectorized; at scale each round is a Ray groupby-min)
+    if not pairs:
+        return ray.data.from_items([])
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    label = {int(n): int(n) for n in nodes}
+    for _ in range(64):  # diameter bound; converges much earlier
+        changed = False
+        for x, y in zip(a, b):
+            lx, ly = label[int(x)], label[int(y)]
+            m = min(lx, ly)
+            if lx != m:
+                label[int(x)] = m; changed = True
+            if ly != m:
+                label[int(y)] = m; changed = True
+        # path compression pass
+        for n in label:
+            r = n
+            while label[r] != r:
+                r = label[r]
+            label[n] = r
+        if not changed:
+            break
+    rows = [{"doc_id": int(n), "keeper": int(label[int(n)])} for n in nodes]
+    rows.sort(key=lambda r: r["doc_id"])
+    return ray.data.from_items(rows)
+
+
+def q_events_hopping(sf_dir: str, width_s: int = 7200, step_s: int = 3600) -> ray.data.Dataset:
+    """Hopping (sliding) windows: width 2h, step 1h — each event lands in
+    width/step windows.  Engine: per-batch explode into member windows +
+    partial agg; SQL oracle: union of step-shifted tumblings."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    k = width_s // step_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64) // 1_000_000
+        et = batch.column("event_type").to_pylist()
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        import collections
+
+        agg = collections.defaultdict(lambda: [0, 0.0])
+        for t, e, v in zip(ts, et, val):
+            last = (t // step_s) * step_s
+            for j in range(k):
+                ws = last - j * step_s
+                if ws <= t < ws + width_s:
+                    acc = agg[(int(ws), e)]
+                    acc[0] += 1
+                    acc[1] += float(v)
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "window_s": pa.array([x[0] for x in ks], pa.int64()),
+                "event_type": pa.array([x[1] for x in ks], pa.string()),
+                "cnt": pa.array([agg[x][0] for x in ks], pa.int64()),
+                "val": pa.array([agg[x][1] for x in ks], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_s", "event_type"])
+        .aggregate(Sum("cnt", alias_name="n_events"), Sum("val", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(np.round(b.column("sum_value").to_numpy(zero_copy_only=False), 6)),
+        ),
+        batch_format="pyarrow",
+    )

@@ -185,3 +185,48 @@ class TestMultimodal:
 
         with pytest.raises(CodecNotAvailable):
             real_decode(b"xx", "image")
+
+
+class TestDedupClusters:
+    def test_clusters_match_union_find(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_dedup_clusters,
+            q_jaccard_pairs,
+        )
+
+        pairs = [(r["doc_a"], r["doc_b"]) for r in q_jaccard_pairs(SF, tau=0.4).take_all()]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(x, y):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+
+        for a, b in pairs:
+            union(a, b)
+        expected = {x: find(x) for x in parent}
+        got = {r["doc_id"]: r["keeper"] for r in q_dedup_clusters(SF, tau=0.4).take_all()}
+        assert got == expected
+        # keeper is the minimum of its own cluster
+        for d, k in got.items():
+            assert k <= d and got[k] == k
+
+
+class TestHoppingWindows:
+    def test_each_event_in_two_windows(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import q_events_hopping
+
+        rows = q_events_hopping(SF).take_all()
+        n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+        assert sum(r["n_events"] for r in rows) == 2 * n_events  # width/step = 2
+        for r in rows:
+            assert r["window_s"] % 3600 == 0
