@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": td.q_multimodal_decode,
         "token_count_bpe": td.q_token_count_bpe,
         "dedup_clusters": td.q_dedup_clusters,
+        "dedup_embedding_lsh": td.q_dedup_embedding_lsh,
         "events_hopping": td.q_events_hopping,
         "search_hcqr_union": q.q_search_hcqr_union,
         "extract_points": q.q_extract_points,

@@ -136,6 +136,27 @@ class QueryEngine:
         pix_col = [c for c in points.column_names if c.endswith("_cell") or c == "pixel"][0]
         self._pt_pix = points.column(pix_col).to_numpy(zero_copy_only=False)
 
+    # -- cell-info interface (OscarSearchSgIndexCellInfo analogue,
+    #    include/hic/OscarSearchWithSg.h:10-26) --------------------------
+    def cell_size(self) -> int:
+        """Number of populated pixels (cellSize())."""
+        return len(self._postings)
+
+    def cell_boundary(self, pixel: int) -> tuple[float, float, float, float]:
+        """(lat0, lat1, lon0, lon1) of one pixel (cellBoundary())."""
+        la0, la1, lo0, lo1 = self.grid.bbox(
+            np.array([pixel], dtype=np.int64).view(np.uint64)
+        )
+        return float(la0[0]), float(la1[0]), float(lo0[0]), float(lo1[0])
+
+    def cell_items_count(self, pixel: int) -> int:
+        """Docs in one pixel (cellItemsCount())."""
+        return len(self._post(pixel))
+
+    def cell_items(self, pixel: int) -> np.ndarray:
+        """The pixel's posting list (cellItemsPtr() dereferenced)."""
+        return self._post(pixel)
+
     # ------------------------------------------------------------------
     def _post(self, pixel: int) -> np.ndarray:
         return self._postings.get(int(pixel), np.empty(0, np.int64))

@@ -230,3 +230,21 @@ class TestHoppingWindows:
         assert sum(r["n_events"] for r in rows) == 2 * n_events  # width/step = 2
         for r in rows:
             assert r["window_s"] % 3600 == 0
+
+
+class TestEmbeddingLsh:
+    def test_precision_and_recall_vs_brute(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_dedup_embedding,
+            q_dedup_embedding_lsh,
+        )
+
+        brute = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                 for r in q_dedup_embedding(SF, tau=0.45).take_all()}
+        lsh = {(r["vec_a"], r["vec_b"]): r["cosine"]
+               for r in q_dedup_embedding_lsh(SF, tau=0.45).take_all()}
+        assert set(lsh) <= set(brute)  # precision 1 (exact verify)
+        for k, v in lsh.items():
+            assert v == brute[k]
+        if brute:
+            assert len(lsh) / len(brute) >= 0.5  # multi-probe recall floor
