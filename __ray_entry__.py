@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": td.q_token_count_bpe,
         "dedup_clusters": td.q_dedup_clusters,
         "dedup_embedding_lsh": td.q_dedup_embedding_lsh,
+        "approx_distinct_terms": td.q_approx_distinct_terms,
         "events_hopping": td.q_events_hopping,
         "search_hcqr_union": q.q_search_hcqr_union,
         "extract_points": q.q_extract_points,

@@ -609,34 +609,35 @@ def q_dedup_clusters(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
     Rows-only at the gate; pytest cross-checks against a driver-side
     union-find."""
     pairs = [(r["doc_a"], r["doc_b"]) for r in q_jaccard_pairs(sf_dir, tau).take_all()]
-    # min-label propagation over the edge list (kept as arrays so each
-    # round is vectorized; at scale each round is a Ray groupby-min)
     if not pairs:
         return ray.data.from_items([])
+    # fully vectorized min-label propagation: each round is
+    # scatter-min over edge endpoints + pointer jumping — exactly the
+    # shape a distributed round is (groupby-min on endpoint), with no
+    # Python per edge
     a = np.array([p[0] for p in pairs], dtype=np.int64)
     b = np.array([p[1] for p in pairs], dtype=np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    label = {int(n): int(n) for n in nodes}
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
     for _ in range(64):  # diameter bound; converges much earlier
-        changed = False
-        for x, y in zip(a, b):
-            lx, ly = label[int(x)], label[int(y)]
-            m = min(lx, ly)
-            if lx != m:
-                label[int(x)] = m; changed = True
-            if ly != m:
-                label[int(y)] = m; changed = True
-        # path compression pass
-        for n in label:
-            r = n
-            while label[r] != r:
-                r = label[r]
-            label[n] = r
-        if not changed:
+        prev = label.copy()
+        m = np.minimum(label[ea], label[eb])
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        label = label[label]  # pointer jumping (path halving)
+        if (label == prev).all():
             break
-    rows = [{"doc_id": int(n), "keeper": int(label[int(n)])} for n in nodes]
-    rows.sort(key=lambda r: r["doc_id"])
-    return ray.data.from_items(rows)
+    import pyarrow as _pa
+
+    return ray.data.from_arrow(
+        _pa.table(
+            {
+                "doc_id": _pa.array(nodes, _pa.int64()),
+                "keeper": _pa.array(nodes[label], _pa.int64()),
+            }
+        )
+    )
 
 
 def q_events_hopping(sf_dir: str, width_s: int = 7200, step_s: int = 3600) -> ray.data.Dataset:
@@ -764,3 +765,25 @@ def q_dedup_embedding_lsh(sf_dir: str, tau: float = 0.45, planes: int = 4,
     verified = pairs.map_batches(Verify, batch_format="pyarrow", zero_copy_batch=True,
                                  concurrency=(1, 4))
     return verified.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+
+
+def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":
+    """Approximate distinct-token count over documents via mergeable HLL
+    sketches: one sketch per batch (map_batches), elementwise-max merge
+    on the driver — the sketch-aggregation pattern that replaces a
+    full-vocabulary shuffle at 100 TB.  Rows-only at the gate; pytest
+    bounds the error vs the exact count."""
+    from ..functions.hll import HLL
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        for t in batch.column("text").to_pylist():
+            h.add_hashes(token_hashes(unique_terms(t)))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HLL(p)
+    for row in ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged.merge(HLL.from_bytes(row["sketch"], p))
+    return pa.table({"approx_distinct_terms": pa.array([int(round(merged.count()))], pa.int64())})

@@ -248,3 +248,35 @@ class TestEmbeddingLsh:
             assert v == brute[k]
         if brute:
             assert len(lsh) / len(brute) >= 0.5  # multi-probe recall floor
+
+
+class TestHLL:
+    def test_error_bound_and_merge(self):
+        from oscar_spatial_index_compare_ray.functions.hll import HLL
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 2**62, 50_000).astype(np.uint64)
+        exact = len(np.unique(vals))
+        h = HLL(12).add_ints(vals)
+        assert abs(h.count() - exact) / exact < 0.05
+        # mergeability: two halves == whole
+        h1 = HLL(12).add_ints(vals[:25_000])
+        h2 = HLL(12).add_ints(vals[25_000:])
+        assert h1.merge(h2).count() == pytest.approx(h.count())
+        # serialization round trip
+        assert HLL.from_bytes(h.to_bytes()).count() == pytest.approx(h.count())
+
+    def test_query_close_to_exact(self, ray_session):
+        import duckdb
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_approx_distinct_terms,
+        )
+
+        approx = q_approx_distinct_terms(SF).column("approx_distinct_terms")[0].as_py()
+        con = duckdb.connect()
+        exact = con.execute(
+            f"SELECT count(DISTINCT term) FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) term "
+            f"FROM read_parquet('{SF}/documents.parquet')) WHERE term <> ''"
+        ).fetchone()[0]
+        assert abs(approx - exact) / exact < 0.1
