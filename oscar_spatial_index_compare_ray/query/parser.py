@@ -138,7 +138,17 @@ def _parse_word_leaf(tok: str) -> TermLeaf:
         flavor = "item"
         tok = tok[len("$item:"):]
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
-        return TermLeaf(tok[1:-1].casefold(), "exact", flavor)
+        body = tok[1:-1].casefold()
+        words = body.split()
+        if len(words) > 1:
+            # multi-word phrase ≈ AND of its tokens (term identity is
+            # tokenizer-level in this engine; documented approximation —
+            # the reference's trie can hold multi-word tag values)
+            node: Node = TermLeaf(words[0], "exact", flavor)
+            for w in words[1:]:
+                node = SetOp(" ", node, TermLeaf(w, "exact", flavor))
+            return node
+        return TermLeaf(body, "exact", flavor)
     # affix markers → query type (normalize(), static-htm-index.h:213-216)
     pre = tok.startswith("*")
     suf = tok.endswith("*") and len(tok) > 1

@@ -100,6 +100,7 @@ QUERIES = [
     ("$cell:5 + $cell:6", lambda b: b.cell(5) | b.cell(6)),
     ("$rect:45.0,5.0,52.0,15.0", lambda b: b.rect(45.0, 5.0, 52.0, 15.0)),
     ("$rect:45.0,5.0,52.0,15.0 table", lambda b: b.rect(45.0, 5.0, 52.0, 15.0) & b.term("table")),
+    ('"table scan"', lambda b: b.term("table") & b.term("scan")),
     ("nosuchterm12345", lambda b: set()),
     ("table - table", lambda b: set()),
     ("$full(table) - table", lambda b: set()),  # full-pixel promotion then subtract
