@@ -88,6 +88,9 @@ def cmd_query(args) -> int:
 
     rows = []
     for i, q in enumerate(queries):
+        if args.warmup:
+            # untimed warm-up run (apps/mainq.cpp:206-214 analogue)
+            eng.complete(q).flaten()
         t0 = time.perf_counter()
         cqr = eng.complete(q)
         cqr_us = (time.perf_counter() - t0) * 1e6
@@ -163,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--benchmark", help="write raw per-query CSV here")
     q.add_argument("--hcqr", action="store_true", help="also evaluate via HCQR trees")
     q.add_argument("--diff", action="store_true", help="fail if CQR and HCQR disagree")
+    q.add_argument("--warmup", action="store_true",
+                   help="untimed warm-up evaluation per query before timing")
     q.add_argument("-v", "--verbose", action="store_true")
 
     s = sub.add_parser("stats")

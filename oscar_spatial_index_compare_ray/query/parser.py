@@ -168,6 +168,12 @@ def _parse_special(tok: str) -> Node:
     body = tok[1:]
     kind, _, rest = body.partition(":")
     if kind == "region":
+        # STRING_REGION semantics: affix markers search region NAMES by
+        # query type (the reference's region-payload string leaf)
+        if rest.startswith("*") or rest.endswith("*"):
+            leaf = _parse_word_leaf(rest)
+            leaf.flavor = "region"
+            return leaf
         return RegionLeaf(rest)
     if kind == "cell":
         return CellLeaf(int(rest))

@@ -255,3 +255,14 @@ def test_dilate_op(engines):
         # zero dilation is identity
         same = eng.complete("$dilate:0 ( table )")
         assert same.flaten().tolist() == base.flaten().tolist()
+
+
+def test_region_affix_match(engines, brute):
+    """$region:region_00* — prefix match over region names unions the
+    matching regions (STRING_REGION flavor)."""
+    expected = set()
+    for rid in range(1, 10):  # region_001..region_009
+        expected |= brute.region(rid)
+    for gname, eng in engines.items():
+        got = set(eng.complete("$region:region_00*").flaten().tolist())
+        assert got == expected, gname
