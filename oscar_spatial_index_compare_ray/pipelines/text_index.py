@@ -155,9 +155,12 @@ class _BlockClassifier:
         counts = np.where(fm, 0, ns)
         offsets = np.zeros(len(gstart) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
-        items = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), pa.int32()), pa.array(vals)
-        )
+        if offsets[-1] < 2**31:
+            items = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), pa.int32()), pa.array(vals)
+            )
+        else:  # >=2^31 items in one term partition: large_list offsets
+            items = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(vals))
         out_terms = term_dict.take(pa.array(gt, pa.int64()))  # C++ gather
         return pa.table(
             {

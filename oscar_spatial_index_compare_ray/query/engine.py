@@ -181,7 +181,9 @@ class QueryEngine:
             return [value] if value in self._terms else []
         if qt == "prefix":
             lo = np.searchsorted(self._vocab, value)
-            hi = np.searchsorted(self._vocab, value + "￿")
+            # chr(0x10FFFF): upper bound must sort above supplementary-
+            # plane characters too (U+FFFF alone misses terms > BMP)
+            hi = np.searchsorted(self._vocab, value + chr(0x10FFFF))
             return list(self._vocab[lo:hi])
         if qt == "suffix":
             return [t for t in self._terms if t.endswith(value)]

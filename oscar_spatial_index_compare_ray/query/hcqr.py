@@ -145,7 +145,14 @@ class HCQR:
                 return a
             if a.fm or b.fm:
                 return HNode(fm=True)
-            if a.is_leaf_pm() and b.is_leaf_pm():
+            if a.is_leaf_pm() or b.is_leaf_pm():
+                # leaf-PM vs internal at the same pixel cannot occur with
+                # single-leaf-level construction (items live only at leaf
+                # pixels); assert rather than silently dropping the items
+                assert a.is_leaf_pm() and b.is_leaf_pm(), (
+                    "HCQR.union: leaf-PM node met an internal node at the "
+                    "same pixel — mixed-level trees are not supported"
+                )
                 return HNode(items=np.union1d(a.items, b.items))
             new = HNode()
             for k in set(a.children) | set(b.children):

@@ -6,26 +6,34 @@ replacement for per-group Python.
 (measured 254 s vs <10 s for the join itself at sf0.1).  The scalable
 pattern used here:
 
-    ds.map_batches(add 'part' = splitmix64(keys) % P)   # deterministic
-      .groupby('part')                                   # P groups only
-      .map_groups(vectorized_partition_agg)              # whole hash
-                                                         # partition at once
+    ds.map_batches(add '__khash' = splitmix64(keys))    # deterministic
+      .sort('__khash')                                   # range exchange
+      .map_batches(vectorized_partition_agg,             # whole reduce
+                   batch_size=None)                      # partition at once
 
-Every key combo hashes to exactly ONE partition, so each partition can
-be aggregated independently and completely.  Inside, the work is pure
-Arrow/NumPy: pyarrow's C++ ``Table.group_by().aggregate([... 'list'])``
-collects per-group lists, then one lexsort + first-occurrence mask
-sorts and dedups ALL lists at once (offsets arithmetic, no Python
-loop).  This mirrors the reference's sort+unique post-pass
-(src/OscarSgIndex.cpp:184-191) at partition granularity.
+Equal keys share a hash; Ray's sort range-partitioner never splits
+equal sort values across partitions, and each reduce partition arrives
+as exactly ONE block (ArrowBlockAccessor.merge_sorted_blocks returns a
+single table) — so with ``batch_size=None`` every key group is complete
+inside its batch and can be aggregated independently.  Inside, the work
+is pure Arrow/NumPy: pyarrow's C++
+``Table.group_by().aggregate([... 'list'])`` collects per-group lists,
+then one lexsort + first-occurrence mask sorts and dedups ALL lists at
+once (offsets arithmetic, no Python loop).  This mirrors the
+reference's sort+unique post-pass (src/OscarSgIndex.cpp:184-191) at
+partition granularity.
 
-P (``num_partitions``) bounds both parallelism and per-task memory:
-choose it so a partition (≈ distinct-rows / P) fits a worker's heap.
-The shuffle itself is Ray's sort-based exchange on ONE small int
-column — cheap and robust on any cluster size.  (Ray 2.49's
-``repartition(keys=...)`` hash shuffle was tried first; its per-
-partition aggregator actors oversubscribe small CPU counts, so the
-portable pattern above is used instead.)
+Sorting on the FULL 64-bit hash (not ``hash % P``) keeps the sort key
+high-cardinality, so the sampled range boundaries are distinct and no
+reduce partition is empty — Ray's sort/map_groups path emits
+schema-less empty blocks for empty range partitions (a few-distinct-
+values sort key guarantees them), which triggered "RefBundle with a
+different schema" warnings in round 1.  Partition count equals the
+upstream block count, so parallelism and per-task memory follow the
+input partitioning.  (Ray 2.49's ``repartition(keys=...)`` hash
+shuffle was tried first; its per-partition aggregator actors
+oversubscribe small CPU counts, so the portable pattern above is used
+instead.)
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ import ray.data
 
 from ..functions.hashing import splitmix64
 
-PART_COL = "__part"
+KHASH_COL = "__khash"
 
 
 def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
@@ -66,25 +74,33 @@ def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
     return h
 
 
-def _with_part(ds: ray.data.Dataset, keys: list[str], num_partitions: int) -> ray.data.Dataset:
+def _with_khash(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
     def add(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column(PART_COL, pa.array([], pa.int32()))
-        part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column(PART_COL, pa.array(part))
+            return batch.append_column(KHASH_COL, pa.array([], pa.int64()))
+        h = _key_hash(batch, keys).view(np.int64)
+        return batch.append_column(KHASH_COL, pa.array(h))
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: int,
                        block_fn) -> ray.data.Dataset:
-    """Hash-partition by keys, apply a vectorized fn per whole partition."""
-    ds = _with_part(ds, keys, num_partitions)
+    """Key-complete exchange + vectorized per-partition apply (see module
+    docstring).  ``num_partitions`` is kept for call-site compatibility;
+    partitioning now follows the upstream block count."""
+    ds = _with_khash(ds, keys)
 
-    def per_part(group: pa.Table) -> pa.Table:
-        return block_fn(group.drop_columns([PART_COL]))
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            # pathological empty range partition (tiny inputs only — the
+            # high-cardinality sort key prevents this at real scale)
+            return batch
+        return block_fn(batch.drop_columns([KHASH_COL]))
 
-    return ds.groupby(PART_COL).map_groups(per_part, batch_format="pyarrow")
+    return ds.sort(KHASH_COL).map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def _list_array_parts(col) -> tuple[np.ndarray, np.ndarray]:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -41,7 +42,7 @@ def main() -> int:
     if not ray.is_initialized():
         # under `ray job submit` this connects to the submitting cluster;
         # standalone it starts a local one
-        ray.init(address="auto" if False else "local", num_cpus=args.num_cpus,
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), num_cpus=args.num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
     from ray.data import DataContext
