@@ -75,7 +75,7 @@ def cmd_query(args) -> int:
         from .query.hcqr import HCQR
         from .query.parser import SetOp, AllToFull, parse
 
-        leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+        leaf_pixels = eng.populated_pixels()
 
         def go(node):
             if isinstance(node, SetOp):
@@ -133,17 +133,17 @@ def cmd_stats(args) -> int:
     import numpy as np
 
     eng = _load(args)
-    sizes = np.array([len(v) for v in eng._postings.values()])
-    cells_per = {}
-    for entries in eng._cells.values():
-        for p, _docs in entries:
-            cells_per[p] = cells_per.get(p, 0) + 1
-    cp = np.array(list(cells_per.values())) if cells_per else np.array([0])
-    areas = eng.grid.area_km2(np.array(sorted(eng._postings), dtype=np.int64).view(np.uint64))
+    sizes = eng.backend.posting_sizes()
+    cp = eng.backend.cells_per_pixel()
+    if not len(cp):
+        cp = np.array([0])
+    areas = eng.grid.area_km2(eng.populated_pixels().view(np.uint64))
+    # per-pixel item/cell/area distributions, src/OscarSgIndex.cpp:210-237
+    # + cell/area stats report apps/mainq.cpp:378-397 analogues
     print(f"pixels={len(sizes)} items/pixel: min={sizes.min()} mean={sizes.mean():.2f} max={sizes.max()}")
     print(f"cells/pixel: min={cp.min()} mean={cp.mean():.2f} max={cp.max()}")
     print(f"pixel area km2: min={areas.min():.4f} mean={areas.mean():.4f} max={areas.max():.4f}")
-    print(f"terms={len(eng._terms)}")
+    print(f"terms={len(eng.backend.vocab())}")
     return 0
 
 

@@ -9,18 +9,22 @@ reader src/static-htm-index.cpp:18-28) as a *Parquet directory layout*:
     out_dir/
       INDEX_META.json     version, grid, level, supported_qts, counts
       text_index/         term, pixel, fm, n, items     (sorted by term)
-      postings/           pixel, items, index_id
-      trixel_data/        <grid>_cell, cell_id, items, n_items
-      trixel_map/         pixel, trixel_id (dense uint32 remap —
+      postings/           pixel, items, index_id        (sorted by pixel)
+      trixel_data/        <grid>_cell, cell_id, items   (sorted by cell_id)
+      points/             doc_id, point_idx, lat, lon, pixel (sorted by lat)
+      vocab.parquet       sorted distinct terms (FlatTrie string side)
+      trixel_map.parquet  pixel, trixel_id (dense uint32 remap —
                           the TrixelIdMap analogue,
                           include/hic/OscarSearchSgIndex.h:36-43)
-      points/             doc_id, point_idx, lat, lon, pixel
       cells.parquet, regions.parquet   (copied polygon side)
 
 Version checks on load mirror src/static-htm-index.cpp:19 (wrong
-version → refuse).  Sorting text_index by term before write gives
-parquet row-group statistics that let a loader prune row groups by term
-range — the scale path for per-term predicate-pushdown reads.
+version → refuse).  Every big table is sorted by its lookup key before
+the write, and written with small row groups, so the loader
+(query/backend.py ParquetBackend) prunes row groups by key-range
+statistics and never materializes a full table — the engine's analogue
+of the reference querying an mmap'd index without loading it
+(src/static-htm-index.cpp:18-28).
 """
 
 from __future__ import annotations
@@ -38,10 +42,13 @@ from ..query.engine import QueryEngine
 from ..sources.readers import read_small_arrow
 from ..sources.synth import ensure_corpus
 from .build_index import build_assignments, build_trixel_data
-from .search import _to_arrow
 from .text_index import build_pixel_postings, build_text_index, doc_pixels
 
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2
+
+# small row groups => fine-grained predicate-pushdown pruning at query
+# time (a per-term lookup reads ~one row group, not a 1M-row file)
+ROW_GROUP_SIZE = 64 * 1024
 
 
 def save_index(
@@ -67,18 +74,45 @@ def save_index(
 
     text_index = build_text_index(corpus, assignments, pixel_col)
     # deterministic order: sort by term before write → row-group pruning
-    text_index.sort("term").write_parquet(os.path.join(out_dir, "text_index"))
+    text_index.sort("term").write_parquet(
+        os.path.join(out_dir, "text_index"), row_group_size=ROW_GROUP_SIZE
+    )
 
     dp = doc_pixels(assignments, pixel_col)
     postings = build_pixel_postings(dp, pixel_col)
-    postings.sort("pixel").write_parquet(os.path.join(out_dir, "postings"))
-
-    build_trixel_data(assignments, pixel_col).write_parquet(
-        os.path.join(out_dir, "trixel_data")
+    postings.sort("pixel").write_parquet(
+        os.path.join(out_dir, "postings"), row_group_size=ROW_GROUP_SIZE
     )
+
+    build_trixel_data(assignments, pixel_col).sort("cell_id").write_parquet(
+        os.path.join(out_dir, "trixel_data"), row_group_size=ROW_GROUP_SIZE
+    )
+    # points sorted by LAT: geometry/kNN leaves prune by latitude band
     assignments.select_columns(
         ["doc_id", "point_idx", "lat", "lon", pixel_col]
-    ).write_parquet(os.path.join(out_dir, "points"))
+    ).sort("lat").write_parquet(
+        os.path.join(out_dir, "points"), row_group_size=ROW_GROUP_SIZE
+    )
+
+    # vocabulary sidecar (FlatTrie string side): stream the sorted term
+    # column row-group-wise; the result is one row per DISTINCT term
+    vocab_parts: list[np.ndarray] = []
+    tdir = os.path.join(out_dir, "text_index")
+    for f in sorted(os.listdir(tdir)):
+        if not f.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(tdir, f))
+        for ri in range(pf.metadata.num_row_groups):
+            col = pf.read_row_group(ri, columns=["term"]).column("term")
+            vocab_parts.append(np.unique(np.asarray(col.to_pylist(), dtype=object)))
+    vocab = (
+        np.unique(np.concatenate(vocab_parts)) if vocab_parts
+        else np.empty(0, dtype=object)
+    )
+    pq.write_table(
+        pa.table({"term": pa.array(vocab.tolist(), pa.string())}),
+        os.path.join(out_dir, "vocab.parquet"),
+    )
 
     # dense trixel-id remap (TrixelIdMap): pixel ids are sparse uint64;
     # downstream structures can use the compact uint32 id
@@ -115,7 +149,11 @@ def save_index(
 
 
 def load_engine(out_dir: str) -> QueryEngine:
-    """Open a persisted index (version-checked) as a QueryEngine."""
+    """Open a persisted index (version-checked) as a QueryEngine served
+    by row-group-pruned parquet reads — the index is NOT loaded into
+    memory (src/static-htm-index.cpp:18-28 analogue)."""
+    from ..query.backend import ParquetBackend
+
     with open(os.path.join(out_dir, "INDEX_META.json")) as f:
         meta = json.load(f)
     if meta.get("format_version") != INDEX_FORMAT_VERSION:
@@ -124,14 +162,8 @@ def load_engine(out_dir: str) -> QueryEngine:
             f"index format version {meta.get('format_version')} != "
             f"supported {INDEX_FORMAT_VERSION}"
         )
-    read = lambda name: pq.read_table(os.path.join(out_dir, name))  # noqa: E731
     return QueryEngine(
-        text_index=read("text_index"),
-        postings=read("postings"),
-        trixel_data=read("trixel_data"),
-        points=read("points"),
-        cells_regions=read("cells.parquet").select(["cell_id", "region_id"]),
-        region_names=read("regions.parquet").select(["region_id", "name"]),
+        ParquetBackend(out_dir, meta["pixel_col"]),
         grid_name=meta["grid"],
         level=meta["level"],
         supported_qts=tuple(meta["supported_qts"]),

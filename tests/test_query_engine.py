@@ -242,7 +242,7 @@ def test_dilate_op(engines):
         dlat = 30.0 / 111.195
         mid = np.clip(np.abs((la0 + la1) / 2.0), 0.0, 89.0)
         dlon = dlat / np.cos(np.radians(mid))
-        pop = np.array(sorted(eng._postings), dtype=np.int64)
+        pop = eng.populated_pixels()
         pl0, pl1, po0, po1 = eng.grid.bbox(pop.view(np.uint64))
         expected_docs = set(base.flaten().tolist())
         for k in range(len(la0)):
