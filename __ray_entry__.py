@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_nested": q.q_search_nested,
         "search_region": q.q_search_region,
         "search_rect": q.q_search_rect,
+        "search_item": q.q_search_item,
+        "search_region_payload": q.q_search_region_payload,
         "term_df": q.q_term_df,
         "text_index": q.q_text_index,
         "pixel_doc_counts": q.q_pixel_doc_counts,
@@ -169,14 +171,36 @@ def oracle_sql() -> dict[str, str]:
 def _traindata_oracles() -> dict[str, str]:
     """SQL recomputation of the SQL-expressible training-data operators
     over the pre-registered views (documents / embeddings / events).
-    lang_id, fingerprint, dedup_minhash/simhash and ann_lsh are
-    deliberately absent → rows-only checks (non-SQL-expressible:
-    heuristic models and probabilistic sketches); their semantics are
-    pytest-verified against exact recomputation instead."""
+    lang_id, fingerprint, dedup_simhash and ann_lsh are deliberately
+    absent → rows-only checks (non-SQL-expressible: heuristic models
+    and probabilistic sketches); their semantics are pytest-verified
+    against exact recomputation instead.
+
+    dedup_minhash DOES get an oracle: at its r=2 × b=32 band geometry
+    the LSH candidate recall at j >= τ=0.6 is 1 - (1-τ²)³² ≈ 1-7e-7 —
+    deterministic hashes on deterministic data, so the verified output
+    equals ALL exact 3-gram-shingle-jaccard pairs >= τ (the SQL below;
+    pytest asserts the equality on the test corpora)."""
     toks = "list_filter(list_distinct(regexp_split_to_array(lower(text), '\\W+')), x -> x <> '')"
     all_toks = "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
     sw = "('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with')"
+    # ordered 3-token shingles as strings (mirrors functions/minhash.py
+    # shingle_hashes: <3 tokens fold into ONE whole-text shingle)
+    shingles = (
+        f"CASE WHEN len({all_toks}) < 3 THEN [array_to_string({all_toks}, chr(1))] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len({all_toks}) - 2), "
+        f"i -> {all_toks}[i] || chr(1) || {all_toks}[i+1] || chr(1) || {all_toks}[i+2])) END"
+    )
     return {
+        "dedup_minhash": (
+            f"WITH s AS (SELECT doc_id, {shingles} AS sh FROM documents) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            f"(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+            f"FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            f"WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            f"(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6"
+        ),
         "text_stats": (
             f"SELECT doc_id, length(text) AS n_chars, len({all_toks}) AS n_tokens, "
             f"len({toks}) AS n_unique_tokens, "
@@ -273,8 +297,20 @@ def _search_oracles(c: str) -> dict[str, str]:
             f"AND doc_id IN (SELECT doc_id FROM {points})"
         )
 
+    regions_t = f"read_parquet('{c}/regions.parquet')"
     region1 = (
         f"SELECT DISTINCT p.doc_id FROM {points} p JOIN {edges} e ON e.region_id = 1 "
+        f"WHERE ((e.y1 > p.lat) != (e.y2 > p.lat)) "
+        f"  AND p.lon < (e.x2-e.x1)*(p.lat-e.y1)/(e.y2-e.y1)+e.x1 "
+        f"GROUP BY p.doc_id, p.point_idx, e.cell_id "
+        f"HAVING count(*) % 2 = 1"
+    )
+    # region PAYLOAD family: docs inside any region whose NAME matches
+    # the prefix (engine: $region:region_00* over family=regions rows)
+    region_prefix = (
+        f"SELECT DISTINCT p.doc_id FROM {points} p "
+        f"JOIN {edges} e ON e.region_id IN "
+        f"  (SELECT region_id FROM {regions_t} WHERE starts_with(name, 'region_00')) "
         f"WHERE ((e.y1 > p.lat) != (e.y2 > p.lat)) "
         f"  AND p.lon < (e.x2-e.x1)*(p.lat-e.y1)/(e.y2-e.y1)+e.x1 "
         f"GROUP BY p.doc_id, p.point_idx, e.cell_id "
@@ -296,4 +332,9 @@ def _search_oracles(c: str) -> dict[str, str]:
         "search_nested": f"(({a}) UNION ({b})) EXCEPT ({m})",
         "search_region": f"(SELECT doc_id FROM ({region1})) INTERSECT ({a})",
         "search_rect": f"({rect}) INTERSECT ({a})",
+        # item family == text term match (the mixed domain minus
+        # region-name matches; 'table' names no region, so the SQL
+        # restricts to the text domain exactly)
+        "search_item": f"SELECT doc_id FROM ({a})",
+        "search_region_payload": f"SELECT doc_id FROM ({region_prefix})",
     }

@@ -44,7 +44,7 @@ from ..sources.synth import ensure_corpus
 from .build_index import build_assignments, build_trixel_data
 from .text_index import build_pixel_postings, build_text_index, doc_pixels
 
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 # small row groups => fine-grained predicate-pushdown pruning at query
 # time (a per-term lookup reads ~one row group, not a 1M-row file)
@@ -72,7 +72,7 @@ def save_index(
         corpus, grids=(grid,), level=level, with_tiles=False
     ).materialize()
 
-    text_index = build_text_index(corpus, assignments, pixel_col)
+    text_index = build_text_index(corpus, assignments, pixel_col, families=True)
     # deterministic order: sort by term before write → row-group pruning
     text_index.sort("term").write_parquet(
         os.path.join(out_dir, "text_index"), row_group_size=ROW_GROUP_SIZE
@@ -142,6 +142,7 @@ def save_index(
         "n_pixels": int(len(pix)),
         "sf_dir": sf_dir,
         "multiplier": multiplier,
+        "has_families": True,
     }
     with open(os.path.join(out_dir, "INDEX_META.json"), "w") as f:
         json.dump(meta, f)
@@ -163,7 +164,8 @@ def load_engine(out_dir: str) -> QueryEngine:
             f"supported {INDEX_FORMAT_VERSION}"
         )
     return QueryEngine(
-        ParquetBackend(out_dir, meta["pixel_col"]),
+        ParquetBackend(out_dir, meta["pixel_col"],
+                       has_families=bool(meta.get("has_families"))),
         grid_name=meta["grid"],
         level=meta["level"],
         supported_qts=tuple(meta["supported_qts"]),

@@ -218,6 +218,20 @@ def q_search_rect(sf_dir: str) -> pa.Table:
     return _search(sf_dir, "$rect:45.0,5.0,52.0,15.0 table")
 
 
+def q_search_item(sf_dir: str) -> pa.Table:
+    """STRING_ITEM leaf: `$item:` restricts the match to the item
+    payload family (docs whose own TEXT contains the term), excluding
+    region-name matches (HcqrOpTree.cpp:24-45 payload selection)."""
+    return _search(sf_dir, "$item:table")
+
+
+def q_search_region_payload(sf_dir: str) -> pa.Table:
+    """STRING_REGION prefix leaf served from the REGION payload family:
+    docs contained in any region whose name starts 'region_00'
+    (src/OscarSearchSgIndex.cpp:471-488 regions pass)."""
+    return _search(sf_dir, "$region:region_00*")
+
+
 def q_term_df(sf_dir: str) -> "ray.data.Dataset":
     """Term document frequencies over pages — the trie/vocabulary build
     shuffle (groupby term), SQL-mirrorable."""

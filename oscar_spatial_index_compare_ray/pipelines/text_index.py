@@ -41,25 +41,128 @@ from ..sources.readers import read_pages
 
 
 def tokenize_pages(corpus_dir: str) -> ray.data.Dataset:
-    """pages → distinct (doc_id, term) rows."""
+    """pages → distinct (doc_id, term) rows.
+
+    Fully Arrow/NumPy vectorized (VERDICT round-1 nit #7): C++
+    utf8_lower + regex split produce the token lists, dictionary-encode
+    + one lexsort dedups per doc — no Python in the per-row path.
+    Semantics match functions/tokenize.py (``\\w+`` word chars,
+    lowercase) and the DuckDB oracle's
+    ``regexp_split_to_array(lower(text), '\\W+')``."""
+    import pyarrow.compute as pc
+
     ds = read_pages(corpus_dir, columns=["doc_id", "text"])
 
     def tok(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        out_ids, out_terms = [], []
-        for did, t in zip(ids, texts):
-            terms = unique_terms(t)
-            out_ids.append(np.full(len(terms), did, dtype=np.int64))
-            out_terms.extend(terms)
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = batch.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lists.values
+        doc_rep = np.repeat(ids, np.diff(offs))
+        d = pc.dictionary_encode(vals)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop the empty-string token the split emits at boundaries
+        empty_mask = pc.equal(d.dictionary, "").to_numpy(zero_copy_only=False)
+        empty_code = int(np.nonzero(empty_mask)[0][0]) if empty_mask.any() else -1
+        keep = codes != empty_code
+        doc_rep, codes = doc_rep[keep], codes[keep]
+        # per-doc distinct: sort by (doc, code), keep first occurrences
+        order = np.lexsort((codes, doc_rep))
+        ds_, cs = doc_rep[order], codes[order]
+        first = np.ones(len(ds_), dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (cs[1:] != cs[:-1])
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)),
-                "term": pa.array(out_terms, pa.string()),
+                "doc_id": pa.array(ds_[first], pa.int64()),
+                "term": d.dictionary.take(pa.array(cs[first], pa.int64())),
             }
         )
 
     return ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# payload families (the reference's 3-pass itemMatchTypes loop,
+# src/OscarSearchSgIndex.cpp:471-488, folded into ONE pass with a
+# `family` group column — SURVEY.md §4 '3-pass payload build' row):
+#   mixed  = item ∪ region matches        (default search domain)
+#   region = term matches a containing region's NAME tokens
+#   item   = term occurs in the doc's own text
+FAMILY_MIXED, FAMILY_REGION, FAMILY_ITEM = 0, 1, 2
+
+
+def region_doc_terms(corpus_dir: str, assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, term) rows from the NAMES of regions containing the doc
+    (the STRING_REGION payload source).  The cell→region-name-token map
+    is tiny and broadcast; rows come from distinct (doc_id, cell_id)."""
+    import ray as _ray
+
+    from ..sources.readers import read_small_arrow
+    from ..stages.groupagg import grouped_distinct
+
+    cells = read_small_arrow(corpus_dir, "cells").select(["cell_id", "region_id"])
+    regions = read_small_arrow(corpus_dir, "regions").select(["region_id", "name"])
+    name_of = dict(zip(regions.column("region_id").to_pylist(),
+                       regions.column("name").to_pylist()))
+    cell_terms = {
+        int(cid): unique_terms(name_of.get(rid, "") or "")
+        for cid, rid in zip(cells.column("cell_id").to_pylist(),
+                            cells.column("region_id").to_pylist())
+    }
+    ref = _ray.put(cell_terms)
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+
+    dc = grouped_distinct(
+        assignments.select_columns(["doc_id", "cell_id"]), ["doc_id", "cell_id"]
+    )
+
+    # plain tasks + a per-worker-process cache (make_pip_task pattern):
+    # an actor pool here joins a graph that already holds the doc⋈pixel
+    # join's aggregator actors — on small CPU counts the reserved pools
+    # starve each other (observed deadlock at num_cpus=4)
+    def expand(batch: pa.Table) -> pa.Table:
+        ct = _EXPAND_CACHE.get(key)
+        if ct is None:
+            ct = _ray.get(ref)
+            _EXPAND_CACHE[key] = ct
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cids = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        out_ids, out_terms = [], []
+        for did, cid in zip(ids, cids):
+            for t in ct.get(int(cid), ()):
+                out_ids.append(int(did))
+                out_terms.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "term": pa.array(out_terms, pa.string()),
+            }
+        )
+
+    return dc.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EXPAND_CACHE: dict = {}
+
+
+def _dup_with_mixed(ds: ray.data.Dataset, family: int) -> ray.data.Dataset:
+    """Each (doc_id, term) row → two rows: (family) + (mixed).  One
+    upstream execution feeds both families (vs a self-union that would
+    run the producer twice)."""
+    def dup(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fam = np.concatenate([
+            np.full(n, family, np.int8), np.full(n, FAMILY_MIXED, np.int8)
+        ])
+        doubled = pa.concat_tables([batch, batch])
+        return doubled.append_column("family", pa.array(fam))
+
+    return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def doc_pixels(assignments: ray.data.Dataset, pixel_col: str) -> ray.data.Dataset:
@@ -113,16 +216,18 @@ class _BlockClassifier:
         out_term_type = (
             pa.string() if self.term_col == "term" else pa.int64()
         )
+        has_family = "family" in batch.column_names
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    self.term_col: pa.array([], out_term_type),
-                    "pixel": pa.array([], pa.int64()),
-                    "fm": pa.array([], pa.bool_()),
-                    "n": pa.array([], pa.int64()),
-                    "items": pa.array([], pa.list_(pa.int64())),
-                }
-            )
+            cols = {
+                self.term_col: pa.array([], out_term_type),
+                "pixel": pa.array([], pa.int64()),
+                "fm": pa.array([], pa.bool_()),
+                "n": pa.array([], pa.int64()),
+                "items": pa.array([], pa.list_(pa.int64())),
+            }
+            if has_family:
+                cols = {"family": pa.array([], pa.int8()), **cols}
+            return pa.table(cols)
         if self._lookup is None:
             self._lookup = ray.get(self.counts_ref)
         tot_pix, tot_n = self._lookup
@@ -137,13 +242,19 @@ class _BlockClassifier:
         tcode = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         pix = batch.column(self.pixel_col).to_numpy(zero_copy_only=False)
         docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((docs, pix, tcode))
-        t, p, d = tcode[order], pix[order], docs[order]
+        fam = (
+            batch.column("family").to_numpy(zero_copy_only=False).astype(np.int64)
+            if has_family else np.zeros(len(tcode), np.int64)
+        )
+        order = np.lexsort((docs, pix, fam, tcode))
+        t, p, d, f = tcode[order], pix[order], docs[order], fam[order]
         keep = np.ones(len(t), dtype=bool)
-        keep[1:] = (t[1:] != t[:-1]) | (p[1:] != p[:-1]) | (d[1:] != d[:-1])
-        t, p, d = t[keep], p[keep], d[keep]
-        gstart = np.nonzero(np.r_[True, (t[1:] != t[:-1]) | (p[1:] != p[:-1])])[0]
-        gt, gp = t[gstart], p[gstart]
+        keep[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (p[1:] != p[:-1]) | (d[1:] != d[:-1])
+        t, p, d, f = t[keep], p[keep], d[keep], f[keep]
+        gstart = np.nonzero(
+            np.r_[True, (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (p[1:] != p[:-1])]
+        )[0]
+        gt, gp, gf = t[gstart], p[gstart], f[gstart]
         ns = np.diff(np.r_[gstart, len(t)])
         idx = np.clip(np.searchsorted(tot_pix, gp), 0, max(len(tot_pix) - 1, 0))
         totals = np.where(tot_pix[idx] == gp, tot_n[idx], -1) if len(tot_pix) else np.full(len(gp), -1)
@@ -162,15 +273,132 @@ class _BlockClassifier:
         else:  # >=2^31 items in one term partition: large_list offsets
             items = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(vals))
         out_terms = term_dict.take(pa.array(gt, pa.int64()))  # C++ gather
-        return pa.table(
-            {
-                self.term_col: out_terms,
-                "pixel": pa.array(gp, pa.int64()),
+        cols = {
+            self.term_col: out_terms,
+            "pixel": pa.array(gp, pa.int64()),
+            "fm": pa.array(fm, pa.bool_()),
+            "n": pa.array(ns, pa.int64()),
+            "items": items,
+        }
+        if has_family:
+            cols = {"family": pa.array(gf.astype(np.int8)), **cols}
+        return pa.table(cols)
+
+
+def _salted_classify(
+    pairs: ray.data.Dataset,
+    counts_ref,
+    pixel_col: str,
+    num_partitions: int,
+    salt_buckets: int,
+    has_family: bool,
+) -> ray.data.Dataset:
+    """Skew-safe shuffle #2: two-level aggregation with a SALT on the
+    doc id (SURVEY.md §4 hot-key note; VERDICT round-1 #6 'wire hot-term
+    salting into shuffle #2').
+
+    Level 1 partitions by (term, salt=hash(doc) % S) — a stop-word
+    term's rows split across S bounded sub-partitions (a doc always
+    lands in ONE salt, so cross-salt duplicates are impossible and the
+    per-salt distinct doc lists are disjoint).  Level 2 re-groups the S
+    partial (term[, family], pixel, items) rows by term: per group the
+    fat unit is |docs(pixel) ∩ docs(term)| — pixel-bounded, not
+    term-bounded.  fm classification happens at level 2 against the
+    broadcast per-pixel totals; fm rows carry an EMPTY items list,
+    byte-schema-identical to _BlockClassifier's output."""
+    import ray as _ray
+
+    from ..functions.hashing import splitmix64 as _smx
+    from ..stages.groupagg import _partitioned_apply, sorted_unique_lists_block
+
+    group_keys = (["family"] if has_family else []) + ["term", "pixel_key"]
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            b = batch.append_column("__tsalt", pa.array([], pa.int32()))
+            return b.append_column("pixel_key", pa.array([], pa.int64()))
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (_smx(d.view(np.uint64) ^ np.uint64(0x7E57)) % np.uint64(salt_buckets)).astype(np.int32)
+        b = batch.append_column("__tsalt", pa.array(s))
+        return b.append_column("pixel_key", batch.column(pixel_col))
+
+    salted = pairs.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    l1 = _partitioned_apply(
+        salted, ["term", "__tsalt"], num_partitions,
+        lambda b: sorted_unique_lists_block(b, group_keys, "doc_id",
+                                            out_col="items", count_col="n"),
+    )
+
+    class _Finalize:
+        """Merge salt partials per (term[,family], pixel); classify fm."""
+
+        def __init__(self, counts_ref):
+            self.counts_ref = counts_ref
+            self._lookup = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_cols = (["family"] if has_family else []) + ["term"]
+            if batch.num_rows == 0:
+                cols = {}
+                if has_family:
+                    cols["family"] = pa.array([], pa.int8())
+                cols.update({
+                    "term": pa.array([], pa.string()),
+                    "pixel": pa.array([], pa.int64()),
+                    "fm": pa.array([], pa.bool_()),
+                    "n": pa.array([], pa.int64()),
+                    "items": pa.array([], pa.list_(pa.int64())),
+                })
+                return pa.table(cols)
+            if self._lookup is None:
+                self._lookup = _ray.get(self.counts_ref)
+            tot_pix, tot_n = self._lookup
+            merged = sorted_unique_lists_block(batch_explode(batch), group_keys,
+                                               "doc_id", out_col="items", count_col="n")
+            pix = merged.column("pixel_key").to_numpy(zero_copy_only=False)
+            ns = merged.column("n").to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(tot_pix, pix), 0, max(len(tot_pix) - 1, 0))
+            totals = np.where(tot_pix[idx] == pix, tot_n[idx], -1) if len(tot_pix) else np.full(len(pix), -1)
+            fm = ns == totals
+            items = merged.column("items")
+            items = items.combine_chunks() if isinstance(items, pa.ChunkedArray) else items
+            offs = items.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = items.values.to_numpy(zero_copy_only=False)
+            counts = np.where(fm, 0, np.diff(offs))
+            new_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=new_offs[1:])
+            row_keep = np.repeat(~fm, np.diff(offs))
+            new_vals = vals[row_keep]
+            if new_offs[-1] < 2**31:
+                out_items = pa.ListArray.from_arrays(
+                    pa.array(new_offs.astype(np.int32), pa.int32()), pa.array(new_vals)
+                )
+            else:
+                out_items = pa.LargeListArray.from_arrays(pa.array(new_offs), pa.array(new_vals))
+            cols = {}
+            if has_family:
+                cols["family"] = merged.column("family")
+            cols.update({
+                "term": merged.column("term"),
+                "pixel": pa.array(pix, pa.int64()),
                 "fm": pa.array(fm, pa.bool_()),
                 "n": pa.array(ns, pa.int64()),
-                "items": items,
-            }
-        )
+                "items": out_items,
+            })
+            return pa.table(cols)
+
+    def batch_explode(batch: pa.Table) -> pa.Table:
+        """Partial (key, items) rows → (key, doc_id) rows for re-collect."""
+        items = batch.column("items")
+        items = items.combine_chunks() if isinstance(items, pa.ChunkedArray) else items
+        offs = items.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = items.values
+        rep = pa.array(np.repeat(np.arange(batch.num_rows), np.diff(offs)))
+        cols = {k: batch.column(k).take(rep) for k in group_keys}
+        cols["doc_id"] = vals
+        return pa.table(cols)
+
+    return _partitioned_apply(l1, ["term"], num_partitions, _Finalize(counts_ref))
 
 
 def _hash_terms(batch: pa.Table) -> pa.Table:
@@ -221,10 +449,21 @@ def build_text_index(
     corpus_dir: str,
     assignments: ray.data.Dataset,
     pixel_col: str = "h3_cell",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     hash_exchange: bool = False,
+    families: bool = False,
+    salted: bool = False,
+    salt_buckets: int = 8,
 ) -> ray.data.Dataset:
     """Full text-index build; returns the text_index Dataset.
+
+    ``families=True`` adds the payload-family dimension in ONE pass
+    (vs the reference's 3× stage-B loop,
+    src/OscarSearchSgIndex.cpp:471-488): rows are tagged
+    family ∈ {mixed=0, region=1, item=2} before the join, the term
+    partitioning key stays `term` (all families of a term co-locate),
+    and the classifier groups by (term, family, pixel).  Output gains
+    an int8 ``family`` column.
 
     Wide steps: one hash join on doc_id (terms ⋈ doc-pixels), one hash
     repartition on term (shuffle #2, src/OscarSearchSgIndex.cpp:91-103's
@@ -240,13 +479,31 @@ def build_text_index(
     flag, default off."""
     import ray as _ray
 
+    if families and hash_exchange:
+        raise ValueError("families and hash_exchange are mutually exclusive")
+    if num_partitions is None:
+        # the join spawns one aggregator per partition; oversubscribing
+        # a small cluster serializes them (16 partitions on 4 CPUs
+        # measured 30 s vs 3.2 s for the identical tiny build)
+        num_partitions = max(2, min(64, int(_ray.cluster_resources().get("CPU", 8))))
     terms = tokenize_pages(corpus_dir)
+    if families:
+        # mixed = item ∪ region (duplicate (doc, term, mixed) rows
+        # collapse in the classifier's triple dedup); each producer runs
+        # once and emits its own family + a mixed copy
+        terms = _dup_with_mixed(terms, FAMILY_ITEM).union(
+            _dup_with_mixed(region_doc_terms(corpus_dir, assignments), FAMILY_REGION)
+        )
     if not hash_exchange:
         dp = doc_pixels(assignments, pixel_col)
         counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
         pairs = terms.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
         from ..stages.groupagg import _partitioned_apply
 
+        if salted:
+            return _salted_classify(pairs, counts_ref, pixel_col,
+                                    num_partitions, salt_buckets,
+                                    has_family=families)
         return _partitioned_apply(
             pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col)
         )

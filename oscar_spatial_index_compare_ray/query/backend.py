@@ -171,6 +171,13 @@ class InMemoryBackend:
         rorder = np.argsort(row_rank, kind="stable")
         self._ti_rank = row_rank[rorder]
         ro = pa.array(rorder)
+        if "family" in text_index.column_names:
+            self._ti_family = (
+                text_index.column("family").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[rorder]
+            )
+        else:
+            self._ti_family = None
         self._ti_pix = text_index.column("pixel").to_numpy(zero_copy_only=False).astype(np.int64)[rorder]
         self._ti_fm = text_index.column("fm").to_numpy(zero_copy_only=False).astype(bool)[rorder]
         ti_items = text_index.column("items")
@@ -224,13 +231,18 @@ class InMemoryBackend:
     def vocab(self) -> np.ndarray:
         return self._vocab
 
-    def term_rows(self, terms) -> tuple[np.ndarray, np.ndarray, list]:
+    def has_families(self) -> bool:
+        return self._ti_family is not None
+
+    def term_rows(self, terms, family: int = 0) -> tuple[np.ndarray, np.ndarray, list]:
         ranks = np.searchsorted(self._vocab, np.asarray(terms, dtype=object))
         pix_parts, fm_parts, items = [], [], []
         for r in ranks:
             lo = np.searchsorted(self._ti_rank, r, side="left")
             hi = np.searchsorted(self._ti_rank, r, side="right")
             for j in range(lo, hi):
+                if self._ti_family is not None and self._ti_family[j] != family:
+                    continue
                 pix_parts.append(self._ti_pix[j])
                 fm_parts.append(self._ti_fm[j])
                 items.append(
@@ -286,10 +298,13 @@ class ParquetBackend:
     An actor holding this backend keeps the row-group LRU caches warm
     across queries (query/serve.py)."""
 
-    def __init__(self, out_dir: str, pixel_col: str):
+    def __init__(self, out_dir: str, pixel_col: str, has_families: bool = False):
+        self._has_families = has_families
+        ti_cols = ["term", "pixel", "fm", "items"]
+        if has_families:
+            ti_cols = ["family"] + ti_cols
         self._ti = SortedParquetStore(
-            os.path.join(out_dir, "text_index"), "term",
-            columns=["term", "pixel", "fm", "items"],
+            os.path.join(out_dir, "text_index"), "term", columns=ti_cols,
         )
         self._po = SortedParquetStore(
             os.path.join(out_dir, "postings"), "pixel", columns=["pixel", "items"]
@@ -348,7 +363,10 @@ class ParquetBackend:
     def vocab(self) -> np.ndarray:
         return self._vocab
 
-    def term_rows(self, terms) -> tuple[np.ndarray, np.ndarray, list]:
+    def has_families(self) -> bool:
+        return self._has_families
+
+    def term_rows(self, terms, family: int = 0) -> tuple[np.ndarray, np.ndarray, list]:
         terms = sorted(terms)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, bool), []
@@ -358,6 +376,8 @@ class ParquetBackend:
         t = self._ti.range(terms[0], terms[-1])
         if t.num_rows:
             mask = pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string()))
+            if self._has_families:
+                mask = pc.and_(mask, pc.equal(t.column("family"), family))
             t = t.filter(mask)
         if t.num_rows == 0:
             return np.empty(0, np.int64), np.empty(0, bool), []

@@ -167,12 +167,22 @@ class QueryEngine:
         return self._cqr_from_rows(pix, fm_arr, item_arr)
 
     def _term_cqr(self, leaf: TermLeaf) -> CQR:
-        if leaf.flavor == "region":
+        """Term leaf, payload-family-selected (HcqrOpTree.cpp:24-45:
+        STRING → mixed, STRING_REGION → regions, STRING_ITEM → items
+        posting family; built one-pass at src/OscarSearchSgIndex.cpp:
+        471-488's 3-loop site → text_index.py FAMILY_*)."""
+        from ..pipelines.text_index import FAMILY_ITEM, FAMILY_MIXED, FAMILY_REGION
+
+        fam = {"mixed": FAMILY_MIXED, "region": FAMILY_REGION,
+               "item": FAMILY_ITEM}[leaf.flavor]
+        if not self.backend.has_families() and leaf.flavor == "region":
+            # family-less index (round-1 layout): region-name matching
+            # over the cell partition
             return self._region_cqr_by_match(leaf.value, leaf.qt)
         names = self._matching_terms(leaf.value, leaf.qt)
         if not names:
             return self._empty()
-        return self._union_pixel_rows(*self.backend.term_rows(names))
+        return self._union_pixel_rows(*self.backend.term_rows(names, family=fam))
 
     # -- region / cell leaves -------------------------------------------
     def _cell_cqr(self, cell_id: int) -> CQR:

@@ -113,3 +113,58 @@ def test_string_keys(ray_session):
     ).take_all()
     got = {r["term"]: list(r["items"]) for r in rows}
     assert got == {"a": [1, 3], "b": [1], "c": [2]}
+
+
+def test_salted_classify_hot_term(ray_session):
+    """Shuffle #2 salting (VERDICT #6): a stop-word-style hot term whose
+    rows dwarf every partition must classify identically to the
+    unsalted path — fm/pm per (term, pixel), empty items on fm rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from oscar_spatial_index_compare_ray.pipelines.text_index import (
+        _BlockClassifier,
+        _salted_classify,
+    )
+    from oscar_spatial_index_compare_ray.stages.groupagg import _partitioned_apply
+
+    rng = np.random.default_rng(7)
+    docs = np.arange(3000, dtype=np.int64)
+    pixel_of_doc = (docs % 23).astype(np.int64)
+    rows_doc, rows_term = [docs], ["the"] * len(docs)          # hot term: EVERY doc
+    for t in ("alpha", "beta", "gamma"):
+        sel = rng.choice(docs, size=400, replace=False)
+        rows_doc.append(np.sort(sel))
+        rows_term += [t] * 400
+    doc_col = np.concatenate(rows_doc)
+    pairs = pa.table(
+        {
+            "doc_id": pa.array(doc_col, pa.int64()),
+            "term": pa.array(rows_term, pa.string()),
+            "pixel": pa.array(pixel_of_doc[doc_col], pa.int64()),
+        }
+    )
+    tot_pix, tot_n = np.unique(pixel_of_doc, return_counts=True)
+    counts_ref = ray.put((tot_pix.astype(np.int64), tot_n.astype(np.int64)))
+    ds = ray.data.from_arrow(pairs).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=512
+    )
+
+    def canon(rows):
+        return {
+            (r["term"], r["pixel"]): (r["fm"], r["n"], tuple(r["items"]))
+            for r in rows
+        }
+
+    plain = canon(
+        _partitioned_apply(ds, ["term"], 8, _BlockClassifier(counts_ref, "pixel")).take_all()
+    )
+    salted = canon(
+        _salted_classify(ds, counts_ref, "pixel", 8, salt_buckets=4,
+                         has_family=False).take_all()
+    )
+    assert plain == salted
+    # the hot term is full-match everywhere (every doc has it)
+    assert all(plain[("the", int(p))][0] for p in tot_pix)

@@ -266,3 +266,42 @@ def test_region_affix_match(engines, brute):
     for gname, eng in engines.items():
         got = set(eng.complete("$region:region_00*").flaten().tolist())
         assert got == expected, gname
+
+
+class TestPayloadFamilies:
+    """STRING/STRING_REGION/STRING_ITEM payload families
+    (HcqrOpTree.cpp:24-45 leaf selection over the one-pass family build,
+    src/OscarSearchSgIndex.cpp:471-488)."""
+
+    def test_item_subset_of_mixed(self, engines):
+        eng = engines["h3"]
+        for t in ("table", "window", "region_001", "tab*"):
+            mixed = set(eng.complete(t).flaten().tolist())
+            item = set(eng.complete(f"$item:{t}").flaten().tolist())
+            assert item <= mixed
+
+    def test_mixed_is_item_union_region(self, engines):
+        eng = engines["h3"]
+        for t in ("table", "region_001", "region_002"):
+            mixed = set(eng.complete(t).flaten().tolist())
+            item = set(eng.complete(f"$item:{t}").flaten().tolist())
+            region = set(eng.complete(f"$region:*{t}*").flaten().tolist())
+            assert mixed == item | region
+
+    def test_region_family_equals_region_leaf(self, engines, brute):
+        """Region-family postings answer exactly like the cell-partition
+        region leaf for a single-token region name."""
+        eng = engines["h3"]
+        fam = eng.complete("$region:*region_001*").flaten().tolist()
+        leaf = eng.complete("$region:region_001").flaten().tolist()
+        assert fam == leaf
+        assert set(fam) == brute.region(1)
+
+    def test_item_excludes_region_matches(self, engines, brute):
+        """'region_001' matches docs VIA the region payload in mixed but
+        not in the item family (no doc text contains it)."""
+        eng = engines["h3"]
+        mixed = set(eng.complete("region_001").flaten().tolist())
+        item = set(eng.complete("$item:region_001").flaten().tolist())
+        assert mixed == brute.region(1) | brute.term("region_001")
+        assert item == brute.term("region_001")

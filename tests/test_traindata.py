@@ -79,29 +79,40 @@ class TestKernels:
 
 
 class TestDedupPipelines:
-    def test_minhash_lsh_recall_vs_exact(self, ray_session):
-        """LSH candidates must recover the high-similarity exact
-        shingle-jaccard pairs (P[candidate] = 1-(1-j^4)^16 ≈ .99 at
-        j=0.7 with 16 bands × 4 rows)."""
-        from oscar_spatial_index_compare_ray.pipelines.traindata import (
-            _shingle_hash_sets,
-            q_dedup_minhash,
-        )
+    @staticmethod
+    def _exact_shingle_pairs(tau):
+        """Driver-side exact shingle-jaccard pairs (the test oracle)."""
+        from oscar_spatial_index_compare_ray.functions.minhash import shingle_hashes
 
-        sets = _shingle_hash_sets(SF)
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        sets = {
+            did: shingle_hashes(text, k=3)
+            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        }
         ids = sorted(sets)
         exact = {}
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
                 j = jaccard(sets[a], sets[b])
-                if j >= 0.4:
+                if j >= tau:
                     exact[(a, b)] = j
-        lsh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF, tau=0.4).take_all()}
-        # precision: every verified LSH pair is a true exact pair
-        assert lsh <= set(exact)
-        strong = {p for p, j in exact.items() if j >= 0.7}
-        if strong:
-            assert len(lsh & strong) / len(strong) >= 0.9
+        return exact
+
+    def test_minhash_lsh_equals_exact_at_tau(self, ray_session):
+        """At r=2 × b=32, recall at j >= τ=0.6 is 1-(1-τ²)³² ≈ 1-7e-7 —
+        on the deterministic test corpus the verified LSH output must
+        EQUAL the exact shingle-jaccard pair set (this equality is what
+        licenses the DuckDB oracle for dedup_minhash)."""
+        from oscar_spatial_index_compare_ray.pipelines.traindata import q_dedup_minhash
+
+        exact = self._exact_shingle_pairs(0.6)
+        lsh = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q_dedup_minhash(SF, tau=0.6).take_all()
+        }
+        assert set(lsh) == set(exact)
+        for p, j in exact.items():
+            assert abs(lsh[p] - j) < 1e-6
 
     def test_dedup_exact_minimal_keepers(self, ray_session):
         from oscar_spatial_index_compare_ray.pipelines.traindata import q_dedup_exact
@@ -189,12 +200,14 @@ class TestMultimodal:
 
 class TestDedupClusters:
     def test_clusters_match_union_find(self, ray_session):
+        """Distributed label-propagation clusters == driver union-find
+        over the SAME LSH-verified edge set."""
         from oscar_spatial_index_compare_ray.pipelines.traindata import (
             q_dedup_clusters,
-            q_jaccard_pairs,
+            q_dedup_minhash,
         )
 
-        pairs = [(r["doc_a"], r["doc_b"]) for r in q_jaccard_pairs(SF, tau=0.4).take_all()]
+        pairs = [(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF, tau=0.6).take_all()]
         parent: dict[int, int] = {}
 
         def find(x):
@@ -212,7 +225,7 @@ class TestDedupClusters:
         for a, b in pairs:
             union(a, b)
         expected = {x: find(x) for x in parent}
-        got = {r["doc_id"]: r["keeper"] for r in q_dedup_clusters(SF, tau=0.4).take_all()}
+        got = {r["doc_id"]: r["keeper"] for r in q_dedup_clusters(SF, tau=0.6).take_all()}
         assert got == expected
         # keeper is the minimum of its own cluster
         for d, k in got.items():
