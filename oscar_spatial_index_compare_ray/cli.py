@@ -71,7 +71,15 @@ def cmd_query(args) -> int:
         print("no queries given (-q or --query-file)", file=sys.stderr)
         return 2
 
+    from .pipelines.hcqr_index import hcqr_complete, open_hcqr_index
+
+    hidx = open_hcqr_index(eng)
+
     def eval_hcqr(q):
+        if hidx is not None:
+            # file-backed static HCQR completer (apps/mainq.cpp:658-670)
+            return hcqr_complete(eng, hidx, q)
+        # build trees from flat CQRs (hcqr-from-sg completer, :640-656)
         from .query.hcqr import HCQR
         from .query.parser import SetOp, AllToFull, parse
 

@@ -58,6 +58,7 @@ def save_index(
     level: int = 8,
     multiplier: int = 1,
     supported_qts: tuple[str, ...] = ("exact", "prefix", "suffix", "substring"),
+    compact_level: int = 0,
 ) -> dict:
     """Run the full build (stage A + B) and persist the index."""
     corpus = ensure_corpus(sf_dir, multiplier)
@@ -133,6 +134,15 @@ def save_index(
             os.path.join(corpus, f"{name}.parquet"), os.path.join(out_dir, f"{name}.parquet")
         )
 
+    # persisted HCQR payloads (apps/mainc.cpp:130-162 `hcqr` mode):
+    # per-term compactified tree node rows derived from the text_index
+    # files just written
+    from ..grids import get_grid
+    from .hcqr_index import save_hcqr_index
+
+    save_hcqr_index(out_dir, get_grid(grid, default_level=level), level,
+                    compact_level=compact_level)
+
     meta = {
         "format_version": INDEX_FORMAT_VERSION,
         "grid": grid,
@@ -143,6 +153,7 @@ def save_index(
         "sf_dir": sf_dir,
         "multiplier": multiplier,
         "has_families": True,
+        "hcqr_compact_level": compact_level,
     }
     with open(os.path.join(out_dir, "INDEX_META.json"), "w") as f:
         json.dump(meta, f)
@@ -163,10 +174,12 @@ def load_engine(out_dir: str) -> QueryEngine:
             f"index format version {meta.get('format_version')} != "
             f"supported {INDEX_FORMAT_VERSION}"
         )
-    return QueryEngine(
+    eng = QueryEngine(
         ParquetBackend(out_dir, meta["pixel_col"],
                        has_families=bool(meta.get("has_families"))),
         grid_name=meta["grid"],
         level=meta["level"],
         supported_qts=tuple(meta["supported_qts"]),
     )
+    eng.index_dir = out_dir  # lets callers open sibling artifacts (hcqr/)
+    return eng

