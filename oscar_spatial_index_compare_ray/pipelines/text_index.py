@@ -187,14 +187,23 @@ def pixel_doc_counts(doc_pix: ray.data.Dataset, pixel_col: str) -> tuple[np.ndar
                              "n": pa.array([], pa.int64())})
         return batch.group_by([pixel_col]).aggregate([("doc_id", "count")]).rename_columns([pixel_col, "n"])
 
-    rows = doc_pix.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    # merge per-block partial counts driver-side (pixels may span blocks)
-    acc: dict[int, int] = {}
-    for r in rows:
-        acc[int(r[pixel_col])] = acc.get(int(r[pixel_col]), 0) + int(r["n"])
-    pix = np.array(sorted(acc), dtype=np.int64)
-    n = np.array([acc[int(p)] for p in pix], dtype=np.int64)
-    return pix, n
+    import ray as _ray
+
+    # merge the per-block partial counts driver-side, vectorized (the
+    # result is one row per populated pixel — small by construction)
+    blocks = [b for b in _ray.get(
+        doc_pix.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ) if b.num_rows]
+    if not blocks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    merged = (
+        pa.concat_tables(blocks).group_by([pixel_col]).aggregate([("n", "sum")])
+    )
+    pix = merged.column(pixel_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pix)
+    return pix[order], n[order]
 
 
 class _BlockClassifier:
@@ -495,7 +504,10 @@ def build_text_index(
             _dup_with_mixed(region_doc_terms(corpus_dir, assignments), FAMILY_REGION)
         )
     if not hash_exchange:
-        dp = doc_pixels(assignments, pixel_col)
+        # dp feeds BOTH the broadcast counts and the join: materialize
+        # once (small: one row per distinct (doc, pixel)) instead of
+        # re-running its distinct exchange per consumer
+        dp = doc_pixels(assignments, pixel_col).materialize()
         counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
         pairs = terms.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
         from ..stages.groupagg import _partitioned_apply

@@ -532,6 +532,40 @@ def q_ann_lsh(sf_dir: str, k: int = 10, planes: int = 12) -> pa.Table:
 # events: windowed aggregation + sessionization
 # --------------------------------------------------------------------------
 
+def _window_partial_agg(event_type_col, win: np.ndarray, val: np.ndarray) -> pa.Table:
+    """Vectorized per-batch (window, event_type) partial aggregation:
+    dictionary-encode the type, one lexsort, segment sums — no Python
+    per row (VERDICT round-1 nit #7)."""
+    import pyarrow.compute as pc
+
+    if len(win) == 0:
+        return pa.table(
+            {
+                "window_s": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "val": pa.array([], pa.float64()),
+            }
+        )
+    col = event_type_col.combine_chunks() if isinstance(event_type_col, pa.ChunkedArray) else event_type_col
+    d = pc.dictionary_encode(col)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((win, codes))
+    c, w, v = codes[order], win[order], val[order]
+    gstart = np.nonzero(np.r_[True, (c[1:] != c[:-1]) | (w[1:] != w[:-1])])[0]
+    bounds = np.r_[gstart, len(c)]
+    csum = np.concatenate([[0.0], np.cumsum(v)])
+    sums = csum[bounds[1:]] - csum[bounds[:-1]]
+    cnts = np.diff(bounds)
+    return pa.table(
+        {
+            "window_s": pa.array(w[gstart], pa.int64()),
+            "event_type": d.dictionary.take(pa.array(c[gstart], pa.int64())),
+            "cnt": pa.array(cnts, pa.int64()),
+            "val": pa.array(sums, pa.float64()),
+        }
+    )
+
 def q_events_window(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour windows per event_type: count + sum(value).
     Partial-aggregates inside map_batches, final tiny groupby."""
@@ -540,24 +574,8 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         win = ts // 3_600_000_000 * 3600  # epoch seconds of window start
-        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
         val = batch.column("value").to_numpy(zero_copy_only=False)
-        import collections
-
-        agg = collections.defaultdict(lambda: [0, 0.0])
-        for w, e, v in zip(win, et, val):
-            a = agg[(int(w), e)]
-            a[0] += 1
-            a[1] += float(v)
-        ks = sorted(agg)
-        return pa.table(
-            {
-                "window_s": pa.array([k[0] for k in ks], pa.int64()),
-                "event_type": pa.array([k[1] for k in ks], pa.string()),
-                "cnt": pa.array([agg[k][0] for k in ks], pa.int64()),
-                "val": pa.array([agg[k][1] for k in ks], pa.float64()),
-            }
-        )
+        return _window_partial_agg(batch.column("event_type"), win, val)
 
     from ray.data.aggregate import Sum
 
@@ -747,28 +765,17 @@ def q_events_hopping(sf_dir: str, width_s: int = 7200, step_s: int = 3600) -> ra
 
     def explode(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64) // 1_000_000
-        et = batch.column("event_type").to_pylist()
         val = batch.column("value").to_numpy(zero_copy_only=False)
-        import collections
-
-        agg = collections.defaultdict(lambda: [0, 0.0])
-        for t, e, v in zip(ts, et, val):
-            last = (t // step_s) * step_s
-            for j in range(k):
-                ws = last - j * step_s
-                if ws <= t < ws + width_s:
-                    acc = agg[(int(ws), e)]
-                    acc[0] += 1
-                    acc[1] += float(v)
-        ks = sorted(agg)
-        return pa.table(
-            {
-                "window_s": pa.array([x[0] for x in ks], pa.int64()),
-                "event_type": pa.array([x[1] for x in ks], pa.string()),
-                "cnt": pa.array([agg[x][0] for x in ks], pa.int64()),
-                "val": pa.array([agg[x][1] for x in ks], pa.float64()),
-            }
-        )
+        n = len(ts)
+        last = (ts // step_s) * step_s
+        # each event lands in k member windows: tile rows, one window
+        # offset per copy, mask out-of-window edges — fully vectorized
+        wins = np.concatenate([last - j * step_s for j in range(k)])
+        ts_t = np.tile(ts, k)
+        idx = np.tile(np.arange(n, dtype=np.int64), k)
+        keep = (wins <= ts_t) & (ts_t < wins + width_s)
+        et_col = batch.column("event_type").take(pa.array(idx[keep]))
+        return _window_partial_agg(et_col, wins[keep], np.tile(val, k)[keep])
 
     from ray.data.aggregate import Sum
 
