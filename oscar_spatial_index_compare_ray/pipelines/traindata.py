@@ -445,18 +445,22 @@ def q_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            col = batch.column("embedding")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
             sims = (m @ self.q) / (np.linalg.norm(m, axis=1) * self.qn)
+            # per-batch top-k pre-prune: the final sort sees <= k rows
+            # per block, not the whole scored corpus
+            sel = np.lexsort((vid, -sims))[:k]
             return pa.table(
                 {
-                    "vec_id": pa.array(vid),
-                    "cosine": pa.array(np.round(sims, 6), pa.float64()),
+                    "vec_id": pa.array(vid[sel]),
+                    "cosine": pa.array(np.round(sims[sel], 6), pa.float64()),
                 }
             )
 
     scored = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True,
                             concurrency=(1, 4))
-    # per-batch top-k would pre-prune at scale; final exact top-k via sort
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return pa.Table.from_pylist(top.take_all())
 
@@ -497,35 +501,91 @@ def q_dedup_embedding(sf_dir: str, tau: float = 0.45) -> ray.data.Dataset:
                           batch_size=256, concurrency=(1, 4))
 
 
-def q_ann_lsh(sf_dir: str, k: int = 10, planes: int = 12) -> pa.Table:
-    """LSH-bucketed ANN (the scale path): random-hyperplane signatures
-    bucket the vectors; search the query's bucket ± 1-bit probes, exact
-    cosine within candidates.  Falls back to brute force when the probe
-    set is too small (toy corpora)."""
+def _ann_planes(planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (splitmix64-seeded)."""
     from ..functions.hashing import splitmix64
 
-    ids, mat = _embedding_matrix(sf_dir)
-    dim = mat.shape[1]
-    # deterministic pseudo-random hyperplanes
-    seeds = splitmix64(np.arange(planes * dim, dtype=np.uint64) ^ np.uint64(0xA17))
-    H = ((seeds.astype(np.float64) / 2**64) - 0.5).reshape(planes, dim)
-    sig = (mat @ H.T > 0).astype(np.uint64)
-    codes = (sig << np.arange(planes, dtype=np.uint64)[None, :]).sum(axis=1)
-    qv, qcode = mat[0], codes[0]
-    cand = np.nonzero(
-        (codes == qcode)
-        | (np.vectorize(lambda c: bin(int(c) ^ int(qcode)).count("1"))(codes) <= 1)
-    )[0]
-    if len(cand) < k:
-        cand = np.arange(len(ids))
-    sims = (mat[cand] @ qv) / (np.linalg.norm(mat[cand], axis=1) * np.linalg.norm(qv))
-    order = np.lexsort((ids[cand], -sims))[:k]
-    return pa.table(
-        {
-            "vec_id": pa.array(ids[cand][order], pa.int64()),
-            "cosine": pa.array(np.round(sims[order], 6), pa.float64()),
-        }
-    )
+    seeds = splitmix64(np.arange(planes * dim, dtype=np.uint64) ^ np.uint64(seed))
+    return ((seeds.astype(np.float64) / 2**64) - 0.5).reshape(planes, dim)
+
+
+def q_ann_lsh(sf_dir: str, k: int = 10, planes: int = 12) -> pa.Table:
+    """LSH-bucketed ANN (the scale path), as a RAY PIPELINE (round-1 ran
+    entirely driver-side): per-batch random-hyperplane codes, candidate
+    filter = query's bucket ± 1-bit probes (vectorized popcount), exact
+    cosine + per-batch local top-k, tiny driver merge.  Falls back to
+    brute force over all vectors when the probe set is too small (toy
+    corpora) — same per-batch top-k shape."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from ..functions.minhash import hamming64
+
+    # the single query vector: a pruned point read, not a table load
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    qpos = int(np.argmin(qt.column("vec_id").to_numpy()))
+    qv = np.asarray(qt.column("embedding")[qpos].as_py(), dtype=np.float64)
+    dim = len(qv)
+    H = _ann_planes(planes, dim, 0xA17)
+    qcode = np.uint64(((qv @ H.T > 0).astype(np.uint64)
+                       << np.arange(planes, dtype=np.uint64)).sum())
+    ref = ray.put((H, qv, qcode))
+
+    class Score:
+        def __init__(self, probe: bool):
+            self.H, self.q, self.qcode = ray.get(ref)
+            self.qn = np.linalg.norm(self.q)
+            self.probe = probe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if not len(vid):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64()),
+                                 "n_cand": pa.array([], pa.int64())})
+            col = batch.column("embedding")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            if self.probe:
+                sig = (m @ self.H.T > 0).astype(np.uint64)
+                codes = (sig << np.arange(self.H.shape[0], dtype=np.uint64)[None, :]).sum(axis=1)
+                keep = hamming64(codes, np.full(len(codes), self.qcode, np.uint64)) <= 1
+                vid, m = vid[keep], m[keep]
+            if not len(vid):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64()),
+                                 "n_cand": pa.array([], pa.int64())})
+            sims = (m @ self.q) / (np.linalg.norm(m, axis=1) * self.qn)
+            sel = np.lexsort((vid, -sims))[:k]  # local top-k
+            n = np.zeros(len(sel), np.int64)
+            n[0] = len(vid)
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid[sel], pa.int64()),
+                    "cosine": pa.array(sims[sel], pa.float64()),
+                    "n_cand": pa.array(n, pa.int64()),
+                }
+            )
+
+    def topk(rows):
+        vid = np.array([r["vec_id"] for r in rows], np.int64)
+        cos = np.array([r["cosine"] for r in rows])
+        sel = np.lexsort((vid, -cos))[:k]
+        return pa.table({"vec_id": pa.array(vid[sel], pa.int64()),
+                         "cosine": pa.array(np.round(cos[sel], 6), pa.float64())})
+
+    probed = ds.map_batches(Score, fn_constructor_kwargs={"probe": True},
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4)).take_all()
+    if sum(r["n_cand"] for r in probed) >= k:
+        return topk(probed)
+    # toy-corpus fallback: exact brute force, same per-batch top-k shape
+    brute = ds.map_batches(Score, fn_constructor_kwargs={"probe": False},
+                           batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 4)).take_all()
+    return topk(brute)
 
 
 # --------------------------------------------------------------------------
@@ -806,69 +866,80 @@ def q_dedup_embedding_lsh(sf_dir: str, tau: float = 0.45, planes: int = 4,
     recall floor vs the brute pairs."""
     from ..functions.hashing import splitmix64
 
-    ids, mat = _embedding_matrix(sf_dir)
-    dim = mat.shape[1]
-    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # hyperplanes are tiny (bands × planes × dim floats) — broadcast;
+    # dim read from parquet metadata-level schema, not a table load
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+    import os as _os
+
+    pf = pq.ParquetFile(_os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(pf.read_row_group(0, columns=["embedding"]).column("embedding")[0].as_py())
     seeds = splitmix64(np.arange(bands * planes * dim, dtype=np.uint64) ^ np.uint64(0xE5B))
     H = ((seeds.astype(np.float64) / 2**64) - 0.5).reshape(bands, planes, dim)
-    ref = ray.put((ids, norm))
+    h_ref = ray.put(H)
 
-    # blocks: (band, code, vec_id) rows → groupby → in-bucket pairs → verify
-    rows_band, rows_code, rows_vid = [], [], []
-    for band in range(bands):
-        sig = (norm @ H[band].T > 0).astype(np.uint64)
-        codes = (sig << np.arange(planes, dtype=np.uint64)[None, :]).sum(axis=1)
-        rows_band.extend([band] * len(ids))
-        rows_code.extend(int(c) for c in codes)
-        rows_vid.extend(int(i) for i in ids)
-    import pyarrow as _pa
+    class BandRows:
+        """Per-batch signature rows (round-1 computed these driver-side
+        from a whole-table read): (band, code, vec_id, nvec: binary) —
+        the normalized vector travels WITH its bucket rows so the
+        in-bucket verify needs no broadcast matrix."""
 
-    buckets = ray.data.from_arrow(
-        _pa.table(
-            {
-                "band": _pa.array(rows_band, _pa.int32()),
-                "code": _pa.array(rows_code, _pa.int64()),
-                "vec_id": _pa.array(rows_vid, _pa.int64()),
-            }
-        )
-    )
-
-    def bucket_pairs(group: _pa.Table) -> _pa.Table:
-        vids = sorted(set(group.column("vec_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(vids)):
-            for j in range(i + 1, len(vids)):
-                a.append(vids[i]); b.append(vids[j])
-        return _pa.table({"vec_a": _pa.array(a, _pa.int64()), "vec_b": _pa.array(b, _pa.int64())})
-
-    pairs = buckets.groupby(["band", "code"]).map_groups(bucket_pairs, batch_format="pyarrow")
-
-    class Verify:
         def __init__(self):
-            self.ids, self.norm = ray.get(ref)
-            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+            self.H = ray.get(h_ref)
 
-        def __call__(self, batch: _pa.Table) -> _pa.Table:
-            t = batch.group_by(["vec_a", "vec_b"]).aggregate([])
-            a = t.column("vec_a").to_pylist()
-            b = t.column("vec_b").to_pylist()
-            keep_a, keep_b, cos = [], [], []
-            for x, y in zip(a, b):
-                c = float(self.norm[self.pos[x]] @ self.norm[self.pos[y]])
-                if c >= tau:
-                    keep_a.append(x); keep_b.append(y); cos.append(round(c, 6))
-            return _pa.table(
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if not len(vid):
+                return pa.table({"band": pa.array([], pa.int32()),
+                                 "code": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "nvec": pa.array([], pa.binary())})
+            col = batch.column("embedding")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            blobs = [norm[i].tobytes() for i in range(len(vid))]
+            nb = self.H.shape[0]
+            out_band = np.repeat(np.arange(nb, dtype=np.int32), len(vid))
+            codes = np.concatenate([
+                ((norm @ self.H[b].T > 0).astype(np.uint64)
+                 << np.arange(self.H.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+                for b in range(nb)
+            ]).view(np.int64)
+            return pa.table(
                 {
-                    "vec_a": _pa.array(keep_a, _pa.int64()),
-                    "vec_b": _pa.array(keep_b, _pa.int64()),
-                    "cosine": _pa.array(cos, _pa.float64()),
+                    "band": pa.array(out_band, pa.int32()),
+                    "code": pa.array(codes, pa.int64()),
+                    "vec_id": pa.array(np.tile(vid, nb), pa.int64()),
+                    "nvec": pa.array(blobs * nb, pa.binary()),
                 }
             )
 
+    buckets = ds.map_batches(BandRows, batch_format="pyarrow", zero_copy_batch=True,
+                             concurrency=(1, 4))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        vids = group.column("vec_id").to_pylist()
+        nvs = group.column("nvec").to_pylist()
+        uniq = sorted({v: nv for v, nv in zip(vids, nvs)}.items())
+        a, b, cos = [], [], []
+        for i in range(len(uniq)):
+            va = np.frombuffer(uniq[i][1], np.float64)
+            for j in range(i + 1, len(uniq)):
+                c = float(va @ np.frombuffer(uniq[j][1], np.float64))
+                if c >= tau:
+                    a.append(uniq[i][0]); b.append(uniq[j][0]); cos.append(round(c, 6))
+        return pa.table({"vec_a": pa.array(a, pa.int64()),
+                         "vec_b": pa.array(b, pa.int64()),
+                         "cosine": pa.array(cos, pa.float64())})
+
     from ray.data.aggregate import Min
 
-    verified = pairs.map_batches(Verify, batch_format="pyarrow", zero_copy_batch=True,
-                                 concurrency=(1, 4))
+    # bucket-local candidate generation AND verification (vectors ride
+    # in the bucket rows) → global pair dedup
+    verified = buckets.groupby(["band", "code"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
     return verified.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
 
 

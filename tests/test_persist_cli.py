@@ -154,3 +154,57 @@ def test_backend_serves_without_full_load(index_dir):
     assert touched <= b._ti.num_row_groups()
     # vocab/populated pixels are the only RAM-resident big-table derivatives
     assert len(b.vocab()) > 0 and len(b.populated_pixels()) > 0
+
+
+def test_round_trip_geometry_and_family_queries(index_dir, sf_dir):
+    """Loaded (ParquetBackend) engine answers geometry/kNN/family
+    queries identically to a fresh build — exercises the lat-band point
+    pruning and family-filtered term reads."""
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+    from oscar_spatial_index_compare_ray.pipelines.search import build_query_engine
+
+    loaded = load_engine(index_dir)
+    fresh = build_query_engine(sf_dir, grid="h3", level=6)
+    for q in (
+        "$rect:45.0,5.0,52.0,15.0 table",
+        "$poly:44.0,4.0,44.0,16.0,53.0,16.0,53.0,4.0",
+        "$near:48.7,9.1,25",
+        "$point:48.7,9.1",
+        "$dilate:5 ( table )",
+        "$item:table + $region:region_00*",
+        "$cell:1 ^ table",
+    ):
+        assert loaded.complete(q).flaten().tolist() == \
+            fresh.complete(q).flaten().tolist(), q
+
+
+def test_inmemory_backend_equivalent_to_parquet(index_dir):
+    """QueryEngine.from_tables (InMemoryBackend over the same persisted
+    tables) answers identically to the ParquetBackend engine — the two
+    backends share one semantics."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+    from oscar_spatial_index_compare_ray.query.engine import QueryEngine
+
+    meta = json.load(open(os.path.join(index_dir, "INDEX_META.json")))
+    read = lambda n: pq.read_table(os.path.join(index_dir, n))  # noqa: E731
+    mem = QueryEngine.from_tables(
+        text_index=read("text_index"),
+        postings=read("postings"),
+        trixel_data=read("trixel_data"),
+        points=read("points"),
+        cells_regions=read("cells.parquet").select(["cell_id", "region_id"]),
+        region_names=read("regions.parquet").select(["region_id", "name"]),
+        grid_name=meta["grid"], level=meta["level"],
+        supported_qts=tuple(meta["supported_qts"]),
+    )
+    par = load_engine(index_dir)
+    for q in ("table", "tab*", "table + window", "$item:table",
+              "$region:region_00*", "$near:48.7,9.1,10",
+              "$rect:45.0,5.0,52.0,15.0 table", "$cell:1"):
+        assert mem.complete(q).flaten().tolist() == \
+            par.complete(q).flaten().tolist(), q
