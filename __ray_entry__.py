@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": td.q_dedup_clusters,
         "dedup_embedding_lsh": td.q_dedup_embedding_lsh,
         "approx_distinct_terms": td.q_approx_distinct_terms,
+        "corpus_filter": td.q_corpus_filter,
+        "tfidf_top_terms": td.q_tfidf_top_terms,
+        "ann_ivf": td.q_ann_ivf,
         "events_hopping": td.q_events_hopping,
         "search_hcqr_union": q.q_search_hcqr_union,
         "extract_points": q.q_extract_points,
@@ -201,6 +204,22 @@ def _traindata_oracles() -> dict[str, str]:
             f"WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             f"(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6"
         ),
+        # connected components of the SAME edge set, as a recursive
+        # transitive closure; keeper = component minimum (mirrors the
+        # engine's distributed min-label propagation)
+        "dedup_clusters": (
+            f"WITH RECURSIVE s AS (SELECT doc_id, {shingles} AS sh FROM documents), "
+            f"e AS (SELECT a.doc_id AS u, b.doc_id AS v "
+            f"      FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            f"      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            f"      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6), "
+            f"sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            f"reach(u, v) AS ("
+            f"  SELECT u, v FROM sym "
+            f"  UNION "
+            f"  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u) "
+            f"SELECT u AS doc_id, least(u, min(v)) AS keeper FROM reach GROUP BY u"
+        ),
         "text_stats": (
             f"SELECT doc_id, length(text) AS n_chars, len({all_toks}) AS n_tokens, "
             f"len({toks}) AS n_unique_tokens, "
@@ -249,6 +268,27 @@ def _traindata_oracles() -> dict[str, str]:
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id "
             "LIMIT 10"
+        ),
+        "corpus_filter": (
+            f"SELECT doc_id FROM ("
+            f"  SELECT doc_id, len({all_toks}) AS n_tokens, "
+            f"  round(len(list_filter({all_toks}, x -> x IN {sw})) / CAST(len({all_toks}) AS DOUBLE), 6) AS stopword_ratio, "
+            f"  round(1.0 - len({toks}) / CAST(len({all_toks}) AS DOUBLE), 6) AS repetition_ratio "
+            f"  FROM documents) "
+            f"WHERE n_tokens >= 30 AND repetition_ratio < 0.7 AND stopword_ratio >= 0.01"
+        ),
+        "tfidf_top_terms": (
+            f"WITH tok AS (SELECT doc_id, unnest({all_toks}) AS term FROM documents), "
+            f"tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term), "
+            f"nd AS (SELECT count(*) AS n FROM documents), "
+            f"scored AS (SELECT tf.doc_id, tf.term, "
+            f"  tf.tf * ln((SELECT n FROM nd) / CAST(df.df AS DOUBLE)) AS s, tf.tf AS tf "
+            f"  FROM tf JOIN df USING (term)), "
+            f"ranked AS (SELECT doc_id, term, "
+            f"  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tf DESC, term ASC) AS rank "
+            f"  FROM scored) "
+            f"SELECT doc_id, term, rank FROM ranked WHERE rank <= 3"
         ),
         "events_window": (
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_s, "

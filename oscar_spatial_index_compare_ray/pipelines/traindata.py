@@ -963,3 +963,159 @@ def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":
     for row in ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True).take_all():
         merged.merge(HLL.from_bytes(row["sketch"], p))
     return pa.table({"approx_distinct_terms": pa.array([int(round(merged.count()))], pa.int64())})
+
+
+def q_corpus_filter(sf_dir: str, min_tokens: int = 30, max_repetition: float = 0.7,
+                    min_stopword: float = 0.01) -> ray.data.Dataset:
+    """Training-corpus quality filter: keep documents passing the
+    classic web-text gates (length / repetition / stopword-presence) —
+    the composition stage every 100 TB ingest runs between raw text and
+    dedup.  Pure streaming filter over the quality columns; SQL oracle
+    mirrors the exact predicate."""
+    import pyarrow.compute as pc
+
+    stats = q_text_stats(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("n_tokens"), min_tokens),
+                pc.less(batch.column("repetition_ratio"), max_repetition),
+            ),
+            pc.greater_equal(batch.column("stopword_ratio"), min_stopword),
+        )
+        return batch.filter(m).select(["doc_id"])
+
+    return stats.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_tfidf_top_terms(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Per-document top-n TF-IDF terms (tie-break: higher tf first, then
+    term asc) — the classic relevance/keyword-extraction operator.
+
+    Shape: per-batch term counting (vectorized dictionary encode +
+    lexsort) against a BROADCAST df table (one row per distinct corpus
+    term — vocabulary-sized, the FlatTrie analogue), local per-doc
+    top-n; no shuffle at all.  Output: (doc_id, term, rank)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from .text_index import tokenize_pages
+
+    corpus_docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = corpus_docs.count()
+
+    # df over the documents table (tokenizer-identical to the SQL oracle)
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_i, out_t = [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            for w in unique_terms(t):
+                out_i.append(int(i))
+                out_t.append(w)
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "term": pa.array(out_t, pa.string())})
+
+    df_rows = (
+        corpus_docs.map_batches(doc_terms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").aggregate(Count(alias_name="df"))
+        .take_all()
+    )
+    df_map = {r["term"]: r["df"] for r in df_rows}
+    ref = ray.put(df_map)
+
+    class TopTerms:
+        def __init__(self):
+            self.df = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.tokenize import tokenize
+
+            out_d, out_t, out_r = [], [], []
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            for i, txt in zip(ids, batch.column("text").to_pylist()):
+                toks = tokenize(txt)
+                if not toks:
+                    continue
+                tf: dict[str, int] = {}
+                for w in toks:
+                    tf[w] = tf.get(w, 0) + 1
+                scored = sorted(
+                    ((-c * math.log(n_docs / self.df[w]), -c, w) for w, c in tf.items()),
+                )[:n]
+                for r, (_, _, w) in enumerate(scored, 1):
+                    out_d.append(int(i)); out_t.append(w); out_r.append(r)
+            return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                             "term": pa.array(out_t, pa.string()),
+                             "rank": pa.array(out_r, pa.int64())})
+
+    return corpus_docs.map_batches(TopTerms, batch_format="pyarrow",
+                                   zero_copy_batch=True, concurrency=(1, 4))
+
+
+def q_ann_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
+              nprobe: int = 2, iters: int = 8) -> pa.Table:
+    """IVF-style ANN (the coarse-quantizer scale path next to the LSH
+    one): deterministic Lloyd k-means on a driver-side SAMPLE builds the
+    centroid table (tiny, broadcast); vectors assign to their nearest
+    centroid per batch; the query probes the ``nprobe`` nearest
+    centroids' buckets with exact cosine + per-batch local top-k.
+    Rows-only at the gate; pytest compares against brute force."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    # centroids from the first 256 vectors (deterministic sample)
+    head = pq.ParquetFile(_os.path.join(sf_dir, "embeddings.parquet")).read_row_group(
+        0, columns=["vec_id", "embedding"]
+    )
+    ids0 = head.column("vec_id").to_numpy()
+    order0 = np.argsort(ids0)[:256]
+    col = head.column("embedding")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    sample = col.values.to_numpy(zero_copy_only=False).reshape(len(ids0), -1).astype(np.float64)[order0]
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = sample[:: max(1, len(sample) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):  # Lloyd on the sample (cosine ≈ dot on unit)
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    qv = sample[0] if len(sample) else np.zeros(cent.shape[1])
+    probe = set(np.argsort(-(cent @ qv))[:nprobe].tolist())
+    ref = ray.put((cent, qv, probe))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class ProbeScore:
+        def __init__(self):
+            self.cent, self.q, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if not len(vid):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            col = batch.column("embedding")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = np.argmax(norm @ self.cent.T, axis=1)
+            keep = np.isin(assign, list(self.probe))
+            vid, norm = vid[keep], norm[keep]
+            if not len(vid):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            sims = norm @ (self.q / np.linalg.norm(self.q))
+            sel = np.lexsort((vid, -sims))[:k]
+            return pa.table({"vec_id": pa.array(vid[sel], pa.int64()),
+                             "cosine": pa.array(np.round(sims[sel], 6), pa.float64())})
+
+    rows = ds.map_batches(ProbeScore, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4)).take_all()
+    vid = np.array([r["vec_id"] for r in rows], np.int64)
+    cos = np.array([r["cosine"] for r in rows])
+    sel = np.lexsort((vid, -cos))[: min(k, len(vid))]
+    return pa.table({"vec_id": pa.array(vid[sel], pa.int64()),
+                     "cosine": pa.array(cos[sel], pa.float64())})

@@ -293,3 +293,57 @@ class TestHLL:
             f"FROM read_parquet('{SF}/documents.parquet')) WHERE term <> ''"
         ).fetchone()[0]
         assert abs(approx - exact) / exact < 0.1
+
+
+class TestAnnIvf:
+    def test_ivf_close_to_brute(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_ann_ivf,
+            q_ann_topk,
+        )
+
+        brute = [r["vec_id"] for r in q_ann_topk(SF, k=10).to_pylist()]
+        ivf = q_ann_ivf(SF, k=10).column("vec_id").to_pylist()
+        # the query vector itself lives in a probed bucket → top-1 exact
+        assert brute[0] == ivf[0]
+        assert len(set(brute) & set(ivf)) >= 5
+
+
+class TestCorpusFilter:
+    def test_filter_matches_stats_predicate(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_corpus_filter,
+            q_text_stats,
+        )
+
+        stats = {r["doc_id"]: r for r in q_text_stats(SF).take_all()}
+        kept = {r["doc_id"] for r in q_corpus_filter(SF).take_all()}
+        expect = {
+            d for d, r in stats.items()
+            if r["n_tokens"] >= 30 and r["repetition_ratio"] < 0.7
+            and r["stopword_ratio"] >= 0.01
+        }
+        assert kept == expect
+
+
+class TestTfIdf:
+    def test_ranks_within_bounds_and_terms_in_doc(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.tokenize import unique_terms
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_tfidf_top_terms,
+        )
+
+        rows = q_tfidf_top_terms(SF, n=3).take_all()
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        terms_of = {d: set(unique_terms(t)) for d, t in
+                    zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+        seen: dict[int, set[int]] = {}
+        for r in rows:
+            assert 1 <= r["rank"] <= 3
+            assert r["term"] in terms_of[r["doc_id"]]
+            seen.setdefault(r["doc_id"], set()).add(r["rank"])
+        # every non-empty doc gets ranks 1..min(3, vocab)
+        for d, rk in seen.items():
+            assert rk == set(range(1, len(rk) + 1))
