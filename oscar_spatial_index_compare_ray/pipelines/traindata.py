@@ -655,26 +655,46 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_sessions(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
-    """Sessionization: per user, number of sessions (gap > 30 min splits)
-    and events — ordered, partitioned log processing via
-    groupby(user).map_groups (ray_guide 'Streaming-shaped workloads')."""
+    """Sessionization: per user, number of sessions (gap > 30 min
+    splits) and events — ordered, partitioned log processing.  One
+    key-complete exchange on user_id, then ALL users of a partition in
+    one lexsort + segment-boundary arithmetic (no per-group Python —
+    a map_groups UDF per user dies at 10⁹ users)."""
+    from ..stages.groupagg import _partitioned_apply
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sess(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        ts = np.sort(
-            group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        )
-        gaps = np.diff(ts) > gap_s * 1_000_000
+    def sess_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        u, t = uid[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # a session break = same user AND gap > threshold
+        brk = (~new_user[1:]) & (np.diff(t) > gap_s * 1_000_000)
+        gstart = np.nonzero(new_user)[0]
+        n_events = np.diff(np.r_[gstart, len(u)])
+        # per-user break counts via prefix sums over the break mask
+        csum = np.concatenate([[0], np.cumsum(brk)])
+        bounds = np.r_[gstart, len(u)]
+        n_breaks = csum[np.maximum(bounds[1:] - 1, 0)] - csum[bounds[:-1]]
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
+                "user_id": pa.array(u[gstart], pa.int64()),
+                "n_sessions": pa.array(n_breaks + 1, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+    return _partitioned_apply(ds, ["user_id"], 32, sess_block)
 
 
 # --------------------------------------------------------------------------
