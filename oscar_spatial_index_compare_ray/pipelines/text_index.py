@@ -126,21 +126,39 @@ def region_doc_terms(corpus_dir: str, assignments: ray.data.Dataset) -> ray.data
     # join's aggregator actors — on small CPU counts the reserved pools
     # starve each other (observed deadlock at num_cpus=4)
     def expand(batch: pa.Table) -> pa.Table:
-        ct = _EXPAND_CACHE.get(key)
-        if ct is None:
+        parsed = _EXPAND_CACHE.get(key)
+        if parsed is None:
             ct = _ray.get(ref)
-            _EXPAND_CACHE[key] = ct
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        cids = batch.column("cell_id").to_numpy(zero_copy_only=False)
-        out_ids, out_terms = [], []
-        for did, cid in zip(ids, cids):
-            for t in ct.get(int(cid), ()):
-                out_ids.append(int(did))
-                out_terms.append(t)
+            # parsed lookup arrays: cell ids sorted + offsets into a
+            # flat token array → the per-row explode is pure numpy
+            cells_sorted = np.array(sorted(ct), dtype=np.int64)
+            counts = np.array([len(ct[int(c)]) for c in cells_sorted], np.int64)
+            offs = np.zeros(len(cells_sorted) + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            flat = np.array(
+                [t for c in cells_sorted for t in ct[int(c)]], dtype=object
+            )
+            parsed = (cells_sorted, offs, flat)
+            _EXPAND_CACHE[key] = parsed
+        cells_sorted, offs, flat = parsed
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cids = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(cells_sorted, cids)
+        idx = np.clip(idx, 0, max(len(cells_sorted) - 1, 0))
+        valid = (
+            (cells_sorted[idx] == cids) if len(cells_sorted) else np.zeros(len(cids), bool)
+        )
+        n_tok = np.where(valid, offs[idx + 1] - offs[idx], 0)
+        doc_out = np.repeat(ids, n_tok)
+        # variable-length gather: start-of-segment repeated + intra-
+        # segment position arithmetic (no per-row Python)
+        starts_rep = np.repeat(offs[idx], n_tok)
+        pos = np.arange(int(n_tok.sum())) - np.repeat(np.cumsum(n_tok) - n_tok, n_tok)
+        tok_idx = starts_rep + pos
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "term": pa.array(out_terms, pa.string()),
+                "doc_id": pa.array(doc_out, pa.int64()),
+                "term": pa.array(flat[tok_idx].tolist(), pa.string()),
             }
         )
 

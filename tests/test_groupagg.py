@@ -168,3 +168,28 @@ def test_salted_classify_hot_term(ray_session):
     assert plain == salted
     # the hot term is full-match everywhere (every doc has it)
     assert all(plain[("the", int(p))][0] for p in tot_pix)
+
+
+def test_hash_exchange_text_index_parity(ray_session, corpus):
+    """The int64-hash wide-exchange variant of build_text_index produces
+    the identical index (term strings re-attached from the vocab)."""
+    from oscar_spatial_index_compare_ray.pipelines.build_index import (
+        build_assignments,
+    )
+    from oscar_spatial_index_compare_ray.pipelines.text_index import (
+        build_text_index,
+    )
+
+    a = build_assignments(corpus, grids=("simple",), level=8,
+                          with_tiles=False).materialize()
+
+    def canon(ds):
+        return {
+            (r["term"], r["pixel"]): (r["fm"], r["n"], tuple(r["items"]))
+            for r in ds.take_all()
+        }
+
+    plain = canon(build_text_index(corpus, a, "simple_cell", salted=False))
+    hashed = canon(build_text_index(corpus, a, "simple_cell",
+                                    hash_exchange=True, salted=False))
+    assert plain == hashed
