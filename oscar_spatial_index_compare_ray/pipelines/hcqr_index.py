@@ -130,17 +130,18 @@ def hcqr_node_rows_block(batch: pa.Table, grid: Grid, leaf_level: int,
     p_all = np.concatenate(out_p)
     l_all = np.concatenate(out_l)
     fm_all = np.concatenate(out_fm)
-    # item lists: take source rows for pm leaves, empty lists for fm
+    # item lists: take source rows for pm leaves, empty lists for fm —
+    # variable-length gather (start-of-segment repeat + intra-segment
+    # position arithmetic; no per-row Python)
     src = np.array(out_item_rows, dtype=np.int64)
     offs_src = items.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals_src = items.values.to_numpy(zero_copy_only=False)
     counts = np.where(src >= 0, offs_src[np.maximum(src, 0) + 1] - offs_src[np.maximum(src, 0)], 0)
     new_offs = np.zeros(len(src) + 1, dtype=np.int64)
     np.cumsum(counts, out=new_offs[1:])
-    new_vals = np.empty(new_offs[-1], dtype=vals_src.dtype)
-    for i, s in enumerate(src):
-        if s >= 0 and counts[i]:
-            new_vals[new_offs[i]: new_offs[i + 1]] = vals_src[offs_src[s]: offs_src[s + 1]]
+    starts_rep = np.repeat(offs_src[np.maximum(src, 0)], counts)
+    pos = np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+    new_vals = vals_src[starts_rep + pos]
     if new_offs[-1] < 2**31:
         out_items = pa.ListArray.from_arrays(
             pa.array(new_offs.astype(np.int32), pa.int32()), pa.array(new_vals)
