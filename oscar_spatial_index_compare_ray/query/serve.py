@@ -38,3 +38,30 @@ class QueryServer:
 
 def start_server(index_dir: str, **actor_opts) -> "ray.actor.ActorHandle":
     return QueryServer.options(**actor_opts).remote(index_dir)
+
+
+class QueryServerPool:
+    """N QueryServer actors behind deterministic query-hash dispatch —
+    the scale form of interactive serving (each actor holds its own
+    warm row-group LRU; identical queries always hit the same actor's
+    result cache)."""
+
+    def __init__(self, index_dir: str, n: int = 2, **actor_opts):
+        self._servers = [start_server(index_dir, **actor_opts) for _ in range(n)]
+
+    def _pick(self, q: str):
+        import zlib
+
+        return self._servers[zlib.crc32(q.encode()) % len(self._servers)]
+
+    def query(self, q: str) -> list[int]:
+        return ray.get(self._pick(q).query.remote(q))
+
+    def query_many(self, qs: list[str]) -> list[list[int]]:
+        """Dispatch a batch across the pool, gather in order."""
+        refs = [self._pick(q).query.remote(q) for q in qs]
+        return ray.get(refs)
+
+    def shutdown(self) -> None:
+        for s in self._servers:
+            ray.kill(s)

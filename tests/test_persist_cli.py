@@ -208,3 +208,20 @@ def test_inmemory_backend_equivalent_to_parquet(index_dir):
               "$rect:45.0,5.0,52.0,15.0 table", "$cell:1"):
         assert mem.complete(q).flaten().tolist() == \
             par.complete(q).flaten().tolist(), q
+
+
+def test_query_server_pool(index_dir):
+    """Round-robin pool answers identically to a direct engine and
+    parallel dispatch preserves order."""
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+    from oscar_spatial_index_compare_ray.query.serve import QueryServerPool
+
+    pool = QueryServerPool(index_dir, n=2)
+    direct = load_engine(index_dir)
+    try:
+        qs = ["table", "tab*", "table + window", "$item:table"]
+        got = pool.query_many(qs)
+        for q, r in zip(qs, got):
+            assert r == direct.complete(q).flaten().tolist()
+    finally:
+        pool.shutdown()
