@@ -206,7 +206,8 @@ class HcqrTextIndex:
     `dir/search.hcqr` opened without loading)."""
 
     def __init__(self, out_dir: str, grid: Grid, leaf_level: int,
-                 postings, leaf_pixels: np.ndarray):
+                 postings, leaf_pixels: np.ndarray,
+                 vocab: np.ndarray | None = None):
         from ..query.backend import SortedParquetStore
 
         self._store = SortedParquetStore(os.path.join(out_dir, "hcqr"), "term")
@@ -214,23 +215,36 @@ class HcqrTextIndex:
         self.leaf_level = leaf_level
         self.postings = postings
         self.leaf_pixels = np.asarray(leaf_pixels, dtype=np.int64)
+        self.vocab = vocab if vocab is not None else np.empty(0, dtype=object)
 
     def tree(self, terms: list[str], family: int = 0) -> HCQR:
         """Union-of-terms HCQR for a term leaf (the per-string payload;
         multiple terms arise from prefix/affix expansion)."""
         import pyarrow.compute as pc
 
+        from ..query.backend import term_runs
+
         h = HCQR(self.grid, self.leaf_level, self.postings, self.leaf_pixels)
         if not terms:
             return h
         terms = sorted(terms)
-        t = self._store.range(terms[0], terms[-1])
-        if t.num_rows == 0:
+        vset = pa.array(terms, pa.string())
+        # per-run pruned reads (see backend.term_rows): scattered
+        # substring matches must not widen into one index-wide range
+        vocab = self.vocab if len(self.vocab) else np.asarray(terms, dtype=object)
+        parts = []
+        for lo, hi in term_runs(terms, vocab):
+            rt = self._store.range(lo, hi)
+            if rt.num_rows:
+                mask = pc.is_in(rt.column("term"), value_set=vset)
+                if "family" in rt.column_names:
+                    mask = pc.and_(mask, pc.equal(rt.column("family"), family))
+                rt = rt.filter(mask)
+            if rt.num_rows:
+                parts.append(rt)
+        if not parts:
             return h
-        mask = pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string()))
-        if "family" in t.column_names:
-            mask = pc.and_(mask, pc.equal(t.column("family"), family))
-        t = t.filter(mask)
+        t = pa.concat_tables(parts).combine_chunks()
         items = t.column("items")
         items = items.combine_chunks() if isinstance(items, pa.ChunkedArray) else items
         offs = items.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -274,7 +288,8 @@ def open_hcqr_index(eng) -> HcqrTextIndex | None:
     if not out_dir or not os.path.isdir(os.path.join(out_dir, "hcqr")):
         return None
     return HcqrTextIndex(out_dir, eng.grid, eng.level,
-                         postings=eng._post, leaf_pixels=eng.populated_pixels())
+                         postings=eng._post, leaf_pixels=eng.populated_pixels(),
+                         vocab=eng.backend.vocab())
 
 
 def hcqr_complete(eng, hidx: HcqrTextIndex, query: str) -> np.ndarray:

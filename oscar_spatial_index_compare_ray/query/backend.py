@@ -45,6 +45,25 @@ def _haversine_km(qlat, qlon, lat, lon):
     return 2 * R * np.arcsin(np.sqrt(a))
 
 
+def term_runs(terms, vocab: np.ndarray, max_gap: int = 32) -> list[tuple[str, str]]:
+    """Split a sorted term list into (lo, hi) ranges whose vocab gaps
+    are small — a SUBSTRING query matching scattered terms must not
+    degenerate into one range read spanning the whole index."""
+    terms = sorted(terms)
+    if not terms:
+        return []
+    ranks = np.searchsorted(vocab, np.asarray(terms, dtype=object))
+    runs: list[tuple[str, str]] = []
+    lo = prev = 0
+    for i in range(1, len(terms)):
+        if ranks[i] - ranks[prev] > max_gap:
+            runs.append((terms[lo], terms[prev]))
+            lo = i
+        prev = i
+    runs.append((terms[lo], terms[prev]))
+    return runs
+
+
 def _list_parts(col) -> tuple[np.ndarray, np.ndarray]:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return (
@@ -89,6 +108,15 @@ class SortedParquetStore:
         self._mins = mins
         self._maxs = maxs
         self._locs = locs
+        # key-sorted data ⇒ group [min,max] ranges are ordered and near-
+        # disjoint: order groups by (min, max) so range selection is two
+        # binary searches, not a linear scan over 10⁶ groups at scale
+        stat_idx = [i for i, m in enumerate(mins) if m is not None]
+        self._nostat = [i for i, m in enumerate(mins) if m is None]
+        stat_idx.sort(key=lambda i: (mins[i], maxs[i]))
+        self._stat_order = stat_idx
+        self._sorted_mins = [mins[i] for i in stat_idx]
+        self._sorted_maxs = [maxs[i] for i in stat_idx]
         self._cache: OrderedDict[int, pa.Table] = OrderedDict()
         self._max_cached = max_cached_groups
 
@@ -108,13 +136,22 @@ class SortedParquetStore:
         return t
 
     def _select_groups(self, lo, hi) -> list[int]:
-        """Row groups whose [min, max] intersects [lo, hi]."""
-        out = []
-        for gi in range(len(self._locs)):
-            mn, mx = self._mins[gi], self._maxs[gi]
-            if mn is None or (mx >= lo and mn <= hi):
-                out.append(gi)
-        return out
+        """Row groups whose [min, max] intersects [lo, hi] — O(log n)
+        via bisect over the (min, max)-ordered stats."""
+        import bisect
+
+        if not self._sorted_mins:
+            return list(self._nostat)
+        # groups sorted by min: candidates end where min > hi
+        end = bisect.bisect_right(self._sorted_mins, hi)
+        # maxes are nondecreasing for key-sorted data: start where
+        # max >= lo (verify per group below for safety on ties)
+        start = bisect.bisect_left(self._sorted_maxs, lo, 0, end)
+        out = [
+            self._stat_order[j] for j in range(start, end)
+            if self._sorted_maxs[j] >= lo
+        ]
+        return out + self._nostat
 
     def range(self, lo, hi) -> pa.Table:
         """All rows with lo <= key <= hi (inclusive both ends)."""
@@ -235,9 +272,14 @@ class InMemoryBackend:
         return self._ti_family is not None
 
     def term_rows(self, terms, family: int = 0) -> tuple[np.ndarray, np.ndarray, list]:
-        ranks = np.searchsorted(self._vocab, np.asarray(terms, dtype=object))
+        terms = np.asarray(terms, dtype=object)
+        ranks = np.searchsorted(self._vocab, terms)
         pix_parts, fm_parts, items = [], [], []
-        for r in ranks:
+        for term, r in zip(terms, ranks):
+            # guard unknown terms (insertion rank would alias the next
+            # vocabulary entry's rows)
+            if r >= len(self._vocab) or self._vocab[r] != term:
+                continue
             lo = np.searchsorted(self._ti_rank, r, side="left")
             hi = np.searchsorted(self._ti_rank, r, side="right")
             for j in range(lo, hi):
@@ -370,17 +412,23 @@ class ParquetBackend:
         terms = sorted(terms)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, bool), []
-        # one pruned range read spanning the requested terms, then an
-        # exact membership filter (the range may contain unrequested
-        # terms between scattered lookups)
-        t = self._ti.range(terms[0], terms[-1])
-        if t.num_rows:
-            mask = pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string()))
-            if self._has_families:
-                mask = pc.and_(mask, pc.equal(t.column("family"), family))
-            t = t.filter(mask)
-        if t.num_rows == 0:
+        # pruned range reads per vocab-contiguous RUN of terms (a
+        # substring query's scattered matches must not turn into one
+        # index-spanning range), then an exact membership filter
+        vset = pa.array(terms, pa.string())
+        parts = []
+        for lo, hi in term_runs(terms, self._vocab):
+            rt = self._ti.range(lo, hi)
+            if rt.num_rows:
+                mask = pc.is_in(rt.column("term"), value_set=vset)
+                if self._has_families:
+                    mask = pc.and_(mask, pc.equal(rt.column("family"), family))
+                rt = rt.filter(mask)
+            if rt.num_rows:
+                parts.append(rt)
+        if not parts:
             return np.empty(0, np.int64), np.empty(0, bool), []
+        t = pa.concat_tables(parts).combine_chunks()
         pix = t.column("pixel").to_numpy(zero_copy_only=False).astype(np.int64)
         fm = t.column("fm").to_numpy(zero_copy_only=False).astype(bool)
         offs, vals = _list_parts(t.column("items"))
