@@ -94,6 +94,24 @@ def cmd_query(args) -> int:
 
         return go(parse(q)).items()
 
+    if args.serve:
+        # pooled serving path: N QueryServer actors, hash dispatch
+        # (apps/mainq.cpp interactive session, actor-pool form)
+        from .query.serve import QueryServerPool
+
+        pool = QueryServerPool(args.index, n=args.serve)
+        try:
+            t0 = time.perf_counter()
+            results = pool.query_many(queries)
+            dt = time.perf_counter() - t0
+            for i, (q, items) in enumerate(zip(queries, results)):
+                print(f"[{i}] {q!r}: items={len(items)}")
+            print(f"served {len(queries)} queries via {args.serve} actors "
+                  f"in {dt * 1000:.0f}ms", file=sys.stderr)
+        finally:
+            pool.shutdown()
+        return 0
+
     rows = []
     for i, q in enumerate(queries):
         if args.warmup:
@@ -176,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--diff", action="store_true", help="fail if CQR and HCQR disagree")
     q.add_argument("--warmup", action="store_true",
                    help="untimed warm-up evaluation per query before timing")
+    q.add_argument("--serve", type=int, metavar="N",
+                   help="answer via a pool of N QueryServer actors")
     q.add_argument("-v", "--verbose", action="store_true")
 
     s = sub.add_parser("stats")

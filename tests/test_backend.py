@@ -62,3 +62,29 @@ def test_scan_batches_cover_all_rows(tmp_path):
     n = sum(t.num_rows for t in store.scan_batches())
     assert n == len(keys)
     assert store.num_row_groups() == (len(keys) + 63) // 64
+
+
+class TestTermRuns:
+    def test_contiguous_terms_one_run(self):
+        import numpy as np
+
+        from oscar_spatial_index_compare_ray.query.backend import term_runs
+
+        vocab = np.array(sorted("abcdefghij"), dtype=object)
+        assert term_runs(["b", "c", "d"], vocab) == [("b", "d")]
+
+    def test_scattered_terms_split(self):
+        import numpy as np
+
+        from oscar_spatial_index_compare_ray.query.backend import term_runs
+
+        vocab = np.array([f"t{i:04d}" for i in range(1000)], dtype=object)
+        runs = term_runs(["t0001", "t0002", "t0900"], vocab, max_gap=32)
+        assert runs == [("t0001", "t0002"), ("t0900", "t0900")]
+
+    def test_empty(self):
+        import numpy as np
+
+        from oscar_spatial_index_compare_ray.query.backend import term_runs
+
+        assert term_runs([], np.empty(0, dtype=object)) == []

@@ -225,3 +225,13 @@ def test_query_server_pool(index_dir):
             assert r == direct.complete(q).flaten().tolist()
     finally:
         pool.shutdown()
+
+
+def test_cli_serve_pool(index_dir, capsys):
+    from oscar_spatial_index_compare_ray.cli import main
+
+    rc = main(["query", "--index", index_dir, "-q", "table",
+               "-q", "table + window", "--serve", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("items=") == 2
