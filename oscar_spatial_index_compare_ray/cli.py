@@ -132,11 +132,40 @@ def cmd_query(args) -> int:
             h_items = eval_hcqr(q)
             if args.hcqr:
                 print(f"    hcqr items={len(h_items)}")
-            if args.diff and items.tolist() != h_items.tolist():
-                # debugDiff analogue, apps/mainq.cpp:399-482
-                a, b = set(items.tolist()), set(h_items.tolist())
-                print(f"    DIFF cqr-hcqr: only_cqr={len(a - b)} only_hcqr={len(b - a)}")
-                return 1
+            if args.diff:
+                # pairwise sym-diff across ALL completer variants
+                # (debugDiff analogue, apps/mainq.cpp:399-482): eager
+                # CQR, lazy TreedCQR, tree-from-CQR HCQR, and (when the
+                # artifact exists) file-backed static HCQR
+                variants = {
+                    "cqr": items.tolist(),
+                    "treed": eng.complete_treed(q).flaten().tolist(),
+                    "hcqr": h_items.tolist(),
+                }
+                if hidx is not None:
+                    from .query.hcqr import HCQR
+                    from .query.parser import SetOp, AllToFull, parse
+
+                    leaf_pixels = eng.populated_pixels()
+
+                    def go(node):
+                        if isinstance(node, SetOp):
+                            return go(node.left).apply(node.op, go(node.right))
+                        if isinstance(node, AllToFull):
+                            return go(node.child).all_to_full()
+                        return HCQR.from_cqr(eng.evaluate(node), eng.grid,
+                                             eng.level, leaf_pixels)
+
+                    variants["hcqr_from_cqr"] = go(parse(q)).items().tolist()
+                names = list(variants)
+                for x in range(len(names)):
+                    for y in range(x + 1, len(names)):
+                        a, b = set(variants[names[x]]), set(variants[names[y]])
+                        if a != b:
+                            print(f"    DIFF {names[x]}-{names[y]}: "
+                                  f"only_{names[x]}={len(a - b)} "
+                                  f"only_{names[y]}={len(b - a)}")
+                            return 1
         rows.append((i, cqr_us, flaten_us, cqr.cell_count(), len(items)))
 
     if args.benchmark:
@@ -170,6 +199,20 @@ def cmd_stats(args) -> int:
     print(f"cells/pixel: min={cp.min()} mean={cp.mean():.2f} max={cp.max()}")
     print(f"pixel area km2: min={areas.min():.4f} mean={areas.mean():.4f} max={areas.max():.4f}")
     print(f"terms={len(eng.backend.vocab())}")
+    # index size on disk per artifact (getSizeInBytes analogue,
+    # src/static-htm-index.cpp:38-41)
+    import os
+
+    total = 0
+    for name in sorted(os.listdir(args.index)):
+        p = os.path.join(args.index, name)
+        if os.path.isdir(p):
+            sz = sum(os.path.getsize(os.path.join(p, f)) for f in os.listdir(p))
+        else:
+            sz = os.path.getsize(p)
+        total += sz
+        print(f"size {name}: {sz / 1024:.1f} KiB")
+    print(f"size total: {total / 1024:.1f} KiB")
     return 0
 
 
