@@ -108,7 +108,11 @@ def build_trixel_data(assignments: ray.data.Dataset, pixel_col: str = "h3_cell",
         zero_copy_batch=True,
     )
     return grouped_sorted_unique_lists(
-        slim, [pixel_col, "cell_id"], "doc_id", num_partitions=num_blocks
+        slim, [pixel_col, "cell_id"], "doc_id", num_partitions=num_blocks,
+        out_schema=pa.schema([
+            (pixel_col, pa.int64()), ("cell_id", pa.uint32()),
+            ("items", pa.list_(pa.int64())), ("n_items", pa.int64()),
+        ]),
     )
 
 
@@ -127,6 +131,10 @@ def build_cell_trixel_map(assignments: ray.data.Dataset, pixel_col: str = "h3_ce
     return grouped_sorted_unique_lists(
         slim, ["cell_id"], pixel_col, num_partitions=num_blocks,
         out_col="pixels", count_col="n_pixels",
+        out_schema=pa.schema([
+            ("cell_id", pa.uint32()), ("pixels", pa.list_(pa.int64())),
+            ("n_pixels", pa.int64()),
+        ]),
     )
 
 

@@ -179,9 +179,15 @@ def build_hcqr_index(
     cols = [c for c in ("family", "term", "pixel", "fm", "items")
             if c in text_index.schema().names]
     slim = text_index.select_columns(cols)
+    fam_fields = [("family", pa.int8())] if "family" in cols else []
     return _partitioned_apply(
         slim, ["term"], num_partitions,
         lambda b: hcqr_node_rows_block(b, grid, leaf_level, compact_level),
+        out_schema=pa.schema(fam_fields + [
+            ("term", pa.string()), ("pixel", pa.int64()),
+            ("level", pa.uint8()), ("fm", pa.bool_()),
+            ("items", pa.list_(pa.int64())),
+        ]),
     )
 
 

@@ -96,8 +96,12 @@ def save_index(
     )
 
     # vocabulary sidecar (FlatTrie string side): stream the sorted term
-    # column row-group-wise; the result is one row per DISTINCT term
-    vocab_parts: list[np.ndarray] = []
+    # column row-group-wise, C++ `unique` per group (rows are term-
+    # sorted, so each group contributes a few distinct values; no
+    # Python-object churn over the full index)
+    import pyarrow.compute as pc
+
+    vocab_parts: list[pa.Array] = []
     tdir = os.path.join(out_dir, "text_index")
     for f in sorted(os.listdir(tdir)):
         if not f.endswith(".parquet"):
@@ -105,14 +109,14 @@ def save_index(
         pf = pq.ParquetFile(os.path.join(tdir, f))
         for ri in range(pf.metadata.num_row_groups):
             col = pf.read_row_group(ri, columns=["term"]).column("term")
-            vocab_parts.append(np.unique(np.asarray(col.to_pylist(), dtype=object)))
-    vocab = (
-        np.unique(np.concatenate(vocab_parts)) if vocab_parts
-        else np.empty(0, dtype=object)
-    )
+            vocab_parts.append(pc.unique(col.combine_chunks()))
+    if vocab_parts:
+        merged = pc.unique(pa.concat_arrays(vocab_parts))
+        vocab_col = merged.take(pc.sort_indices(merged))
+    else:
+        vocab_col = pa.array([], pa.string())
     pq.write_table(
-        pa.table({"term": pa.array(vocab.tolist(), pa.string())}),
-        os.path.join(out_dir, "vocab.parquet"),
+        pa.table({"term": vocab_col}), os.path.join(out_dir, "vocab.parquet")
     )
 
     # dense trixel-id remap (TrixelIdMap): pixel ids are sparse uint64;

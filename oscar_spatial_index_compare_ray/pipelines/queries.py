@@ -57,6 +57,7 @@ def q_cell_doc_counts(sf_dir: str) -> ray.data.Dataset:
     return grouped_count_distinct(
         ds.select_columns(["cell_id", "doc_id"]), ["cell_id"], "doc_id",
         out_col="n_docs",
+        out_schema=pa.schema([("cell_id", pa.uint32()), ("n_docs", pa.int64())]),
     )
 
 
@@ -326,6 +327,7 @@ def q_pixel_doc_counts(sf_dir: str) -> "ray.data.Dataset":
     return grouped_count_distinct(
         ds.select_columns(["simple_cell", "doc_id"]), ["simple_cell"], "doc_id",
         out_col="n_docs",
+        out_schema=pa.schema([("simple_cell", pa.int64()), ("n_docs", pa.int64())]),
     )
 
 

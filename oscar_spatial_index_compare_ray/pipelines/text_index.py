@@ -118,7 +118,8 @@ def region_doc_terms(corpus_dir: str, assignments: ray.data.Dataset) -> ray.data
     key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
 
     dc = grouped_distinct(
-        assignments.select_columns(["doc_id", "cell_id"]), ["doc_id", "cell_id"]
+        assignments.select_columns(["doc_id", "cell_id"]), ["doc_id", "cell_id"],
+        out_schema=pa.schema([("doc_id", pa.int64()), ("cell_id", pa.uint32())]),
     )
 
     # plain tasks + a per-worker-process cache (make_pip_task pattern):
@@ -188,8 +189,10 @@ def doc_pixels(assignments: ray.data.Dataset, pixel_col: str) -> ray.data.Datase
     (combiner + hash-partitioned vectorized dedup)."""
     from ..stages.groupagg import grouped_distinct
 
-    return grouped_distinct(assignments.select_columns(["doc_id", pixel_col]),
-                            ["doc_id", pixel_col])
+    return grouped_distinct(
+        assignments.select_columns(["doc_id", pixel_col]), ["doc_id", pixel_col],
+        out_schema=pa.schema([("doc_id", pa.int64()), (pixel_col, pa.int64())]),
+    )
 
 
 def pixel_doc_counts(doc_pix: ray.data.Dataset, pixel_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -350,10 +353,15 @@ def _salted_classify(
         return b.append_column("pixel_key", batch.column(pixel_col))
 
     salted = pairs.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    fam_fields = [("family", pa.int8())] if has_family else []
     l1 = _partitioned_apply(
         salted, ["term", "__tsalt"], num_partitions,
         lambda b: sorted_unique_lists_block(b, group_keys, "doc_id",
                                             out_col="items", count_col="n"),
+        out_schema=pa.schema(fam_fields + [
+            ("term", pa.string()), ("pixel_key", pa.int64()),
+            ("items", pa.list_(pa.int64())), ("n", pa.int64()),
+        ]),
     )
 
     class _Finalize:
@@ -425,7 +433,13 @@ def _salted_classify(
         cols["doc_id"] = vals
         return pa.table(cols)
 
-    return _partitioned_apply(l1, ["term"], num_partitions, _Finalize(counts_ref))
+    return _partitioned_apply(
+        l1, ["term"], num_partitions, _Finalize(counts_ref),
+        out_schema=pa.schema(fam_fields + [
+            ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
+            ("n", pa.int64()), ("items", pa.list_(pa.int64())),
+        ]),
+    )
 
 
 def _hash_terms(batch: pa.Table) -> pa.Table:
@@ -469,6 +483,7 @@ def build_vocab(terms: ray.data.Dataset) -> ray.data.Dataset:
     return grouped_distinct(
         terms.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True),
         ["term_hash", "term"],
+        out_schema=pa.schema([("term_hash", pa.int64()), ("term", pa.string())]),
     )
 
 
@@ -542,8 +557,13 @@ def build_text_index(
             return _salted_classify(pairs, counts_ref, pixel_col,
                                     num_partitions, salt_buckets,
                                     has_family=families)
+        fam_fields = [("family", pa.int8())] if families else []
         return _partitioned_apply(
-            pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col)
+            pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col),
+            out_schema=pa.schema(fam_fields + [
+                ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
+                ("n", pa.int64()), ("items", pa.list_(pa.int64())),
+            ]),
         )
     vocab = build_vocab(terms).materialize()  # small: one row per distinct term
     hashed = terms.map_batches(_hash_terms, batch_format="pyarrow", zero_copy_batch=True)
@@ -555,6 +575,10 @@ def build_text_index(
     entries = _partitioned_apply(
         pairs, ["term_hash"], num_partitions,
         _BlockClassifier(counts_ref, pixel_col, term_col="term_hash"),
+        out_schema=pa.schema([
+            ("term_hash", pa.int64()), ("pixel", pa.int64()), ("fm", pa.bool_()),
+            ("n", pa.int64()), ("items", pa.list_(pa.int64())),
+        ]),
     )
 
     # re-attach term strings from the broadcast vocab
@@ -607,8 +631,11 @@ def build_pixel_postings(doc_pix: ray.data.Dataset, pixel_col: str) -> ray.data.
     from ..functions.hashing import content_hash_u32_list
     from ..stages.groupagg import grouped_sorted_unique_lists, _list_array_parts
 
-    lists = grouped_sorted_unique_lists(doc_pix, [pixel_col], "doc_id",
-                                        out_col="items", count_col=None)
+    lists = grouped_sorted_unique_lists(
+        doc_pix, [pixel_col], "doc_id", out_col="items", count_col=None,
+        out_schema=pa.schema([(pixel_col, pa.int64()),
+                              ("items", pa.list_(pa.int64()))]),
+    )
 
     def add_hash(batch: pa.Table) -> pa.Table:
         offsets, values = _list_array_parts(batch.column("items")) if batch.num_rows else (np.zeros(1, np.int64), np.empty(0, np.int64))

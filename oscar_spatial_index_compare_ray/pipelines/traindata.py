@@ -694,7 +694,13 @@ def q_sessions(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
             }
         )
 
-    return _partitioned_apply(ds, ["user_id"], 32, sess_block)
+    return _partitioned_apply(
+        ds, ["user_id"], 32, sess_block,
+        out_schema=pa.schema([
+            ("user_id", pa.int64()), ("n_sessions", pa.int64()),
+            ("n_events", pa.int64()),
+        ]),
+    )
 
 
 # --------------------------------------------------------------------------

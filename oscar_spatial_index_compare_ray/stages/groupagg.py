@@ -85,22 +85,35 @@ def _with_khash(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
 
 
 def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: int,
-                       block_fn) -> ray.data.Dataset:
+                       block_fn, out_schema: pa.Schema | None = None) -> ray.data.Dataset:
     """Key-complete exchange + vectorized per-partition apply (see module
     docstring).  ``num_partitions`` is kept for call-site compatibility;
-    partitioning now follows the upstream block count."""
+    partitioning now follows the upstream block count.
+
+    ``out_schema`` types the output for EMPTY range partitions: Ray's
+    sort emits schema-less empty blocks when sampled boundaries repeat
+    (hot keys guarantee duplicates at scale), and an untyped empty
+    return would make the operator's bundle schemas inconsistent (the
+    round-1 'RefBundle with a different schema' warning)."""
     ds = _with_khash(ds, keys)
 
     def per_block(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:
-            # pathological empty range partition (tiny inputs only — the
-            # high-cardinality sort key prevents this at real scale)
+            # empty range partition from duplicate sort-sample
+            # boundaries (hot keys) — emit a TYPED empty block
+            if out_schema is not None:
+                return out_schema.empty_table()
             return batch
         return block_fn(batch.drop_columns([KHASH_COL]))
 
     return ds.sort(KHASH_COL).map_batches(
         per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def _schema(*fields: tuple) -> pa.Schema:
+    """Tiny schema builder for the out_schema call sites."""
+    return pa.schema(list(fields))
 
 
 def _list_array_parts(col) -> tuple[np.ndarray, np.ndarray]:
@@ -155,16 +168,19 @@ def grouped_sorted_unique_lists(
     num_partitions: int = 32,
     out_col: str = "items",
     count_col: str | None = "n_items",
+    out_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Hash-partition by keys, vectorized per-partition list collect."""
     return _partitioned_apply(
         ds, keys, num_partitions,
         lambda b: sorted_unique_lists_block(b, keys, value_col, out_col, count_col),
+        out_schema=out_schema,
     )
 
 
 def grouped_distinct(ds: ray.data.Dataset, keys: list[str],
-                     num_partitions: int = 32) -> ray.data.Dataset:
+                     num_partitions: int = 32,
+                     out_schema: pa.Schema | None = None) -> ray.data.Dataset:
     """DISTINCT over key columns: per-batch C++ dedup (combiner), hash
     partition, per-partition final dedup.  No per-group Python."""
     ds = ds.map_batches(
@@ -172,13 +188,15 @@ def grouped_distinct(ds: ray.data.Dataset, keys: list[str],
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return _partitioned_apply(
-        ds, keys, num_partitions, lambda b: b.group_by(keys).aggregate([])
+        ds, keys, num_partitions, lambda b: b.group_by(keys).aggregate([]),
+        out_schema=out_schema,
     )
 
 
 def grouped_count_distinct(
     ds: ray.data.Dataset, keys: list[str], value_col: str,
     out_col: str = "n", num_partitions: int = 32,
+    out_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """count(DISTINCT value) per key combo, vectorized end-to-end.
     Partitioning on ``keys`` alone keeps each key's values together, so
@@ -198,7 +216,8 @@ def grouped_count_distinct(
         g = d.group_by(keys).aggregate([(value_col, "count")])
         return g.rename_columns(keys + [out_col])
 
-    return _partitioned_apply(slim, keys, num_partitions, cnt)
+    return _partitioned_apply(slim, keys, num_partitions, cnt,
+                              out_schema=out_schema)
 
 
 def salted_sorted_unique_lists(
