@@ -262,6 +262,34 @@ class InMemoryBackend:
             return self._po_vals[self._po_offs[i]: self._po_offs[i + 1]]
         return np.empty(0, np.int64)
 
+    def post_many(self, pixels: np.ndarray) -> np.ndarray:
+        """Concatenated (non-unique) docs of MANY pixels in one
+        variable-length gather — the bulk path for CQR flatten."""
+        pixels = np.asarray(pixels, np.int64)
+        if not len(pixels):
+            return np.empty(0, np.int64)
+        idx = np.clip(np.searchsorted(self._po_pix, pixels), 0,
+                      max(len(self._po_pix) - 1, 0))
+        valid = self._po_pix[idx] == pixels if len(self._po_pix) else np.zeros(len(pixels), bool)
+        counts = np.where(valid, self._po_offs[idx + 1] - self._po_offs[idx], 0)
+        starts_rep = np.repeat(self._po_offs[idx], counts)
+        pos = np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        return self._po_vals[starts_rep + pos]
+
+    def post_many_split(self, pixels: np.ndarray) -> list:
+        """Per-pixel doc arrays, aligned with the input order (views)."""
+        pixels = np.asarray(pixels, np.int64)
+        if not len(pixels):
+            return []
+        idx = np.clip(np.searchsorted(self._po_pix, pixels), 0,
+                      max(len(self._po_pix) - 1, 0))
+        empty = np.empty(0, np.int64)
+        return [
+            self._po_vals[self._po_offs[i]: self._po_offs[i + 1]]
+            if len(self._po_pix) and self._po_pix[i] == p else empty
+            for i, p in zip(idx, pixels)
+        ]
+
     def populated_pixels(self) -> np.ndarray:
         return self._po_pix
 
@@ -380,24 +408,91 @@ class ParquetBackend:
             if nm is not None:
                 self._region_map.setdefault(nm, []).append(int(cid))
         self._post_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._po_parsed_cache: OrderedDict[int, tuple] = OrderedDict()
 
     # -- accessor surface -------------------------------------------------
+    def _po_parsed(self, gi: int):
+        """Parsed postings row group: (sorted pixels, offsets, values) —
+        cached so repeated lookups cost one searchsorted, not an Arrow
+        round trip."""
+        hit = self._po_parsed_cache.get(gi)
+        if hit is not None:
+            self._po_parsed_cache.move_to_end(gi)
+            return hit
+        t = self._po._group(gi)
+        pix = t.column("pixel").to_numpy(zero_copy_only=False).astype(np.int64)
+        offs, vals = _list_parts(t.column("items"))
+        parsed = (pix, offs.astype(np.int64), vals.astype(np.int64))
+        self._po_parsed_cache[gi] = parsed
+        if len(self._po_parsed_cache) > 256:
+            self._po_parsed_cache.popitem(last=False)
+        return parsed
+
     def post(self, pixel: int) -> np.ndarray:
         pixel = int(pixel)
         hit = self._post_cache.get(pixel)
         if hit is not None:
             self._post_cache.move_to_end(pixel)
             return hit
-        t = self._po.point(pixel)
-        if t.num_rows == 0:
-            out = np.empty(0, np.int64)
-        else:
-            offs, vals = _list_parts(t.column("items"))
-            out = vals[offs[0]: offs[1]].astype(np.int64)
+        out = np.empty(0, np.int64)
+        for gi in self._po._select_groups(pixel, pixel):
+            pix, offs, vals = self._po_parsed(gi)
+            i = np.searchsorted(pix, pixel)
+            if i < len(pix) and pix[i] == pixel:
+                out = vals[offs[i]: offs[i + 1]]
+                break
         self._post_cache[pixel] = out
         if len(self._post_cache) > 4096:
             self._post_cache.popitem(last=False)
         return out
+
+    def post_many(self, pixels: np.ndarray) -> np.ndarray:
+        """Concatenated (non-unique) docs of MANY pixels: one pass over
+        the covering row groups, vectorized slice gather per group —
+        replaces 10⁵ per-pixel point reads per flatten at scale."""
+        pixels = np.unique(np.asarray(pixels, np.int64))
+        if not len(pixels):
+            return np.empty(0, np.int64)
+        parts = []
+        for gi in self._po._select_groups(int(pixels[0]), int(pixels[-1])):
+            pix, offs, vals = self._po_parsed(gi)
+            if not len(pix):
+                continue
+            # requested pixels that live in this group
+            sel = pixels[(pixels >= pix[0]) & (pixels <= pix[-1])]
+            if not len(sel):
+                continue
+            idx = np.clip(np.searchsorted(pix, sel), 0, len(pix) - 1)
+            valid = pix[idx] == sel
+            counts = np.where(valid, offs[idx + 1] - offs[idx], 0)
+            starts_rep = np.repeat(offs[idx], counts)
+            pos = np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+            if len(pos):
+                parts.append(vals[starts_rep + pos])
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def post_many_split(self, pixels: np.ndarray) -> list:
+        """Per-pixel doc arrays aligned with input order: one pass over
+        the covering row groups, then per-pixel views from the parsed
+        caches (no per-pixel store round trips)."""
+        pixels = np.asarray(pixels, np.int64)
+        if not len(pixels):
+            return []
+        empty = np.empty(0, np.int64)
+        out: dict[int, np.ndarray] = {}
+        uniq = np.unique(pixels)
+        for gi in self._po._select_groups(int(uniq[0]), int(uniq[-1])):
+            pix, offs, vals = self._po_parsed(gi)
+            if not len(pix):
+                continue
+            sel = uniq[(uniq >= pix[0]) & (uniq <= pix[-1])]
+            if not len(sel):
+                continue
+            idx = np.clip(np.searchsorted(pix, sel), 0, len(pix) - 1)
+            for p, i in zip(sel, idx):
+                if pix[i] == p:
+                    out[int(p)] = vals[offs[i]: offs[i + 1]]
+        return [out.get(int(p), empty) for p in pixels]
 
     def populated_pixels(self) -> np.ndarray:
         return self._pop

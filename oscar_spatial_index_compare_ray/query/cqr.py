@@ -58,28 +58,49 @@ class CQR:
             return self.postings(int(self.pixels[i]))
         return self.items[i]
 
+    def _docs_many(self, idxs) -> list:
+        """Aligned doc arrays for the given slots; fm rows expand via
+        the postings store's BULK split path when available."""
+        idxs = np.asarray(idxs, np.int64)
+        out: list = [None] * len(idxs)
+        fm_pos = [k for k in range(len(idxs)) if self.fm[idxs[k]]]
+        if fm_pos and hasattr(self.postings, "many_split"):
+            arrs = self.postings.many_split(
+                self.pixels[idxs[np.array(fm_pos, np.int64)]]
+            )
+            for k, arr in zip(fm_pos, arrs):
+                out[k] = arr
+        else:
+            for k in fm_pos:
+                out[k] = self.postings(int(self.pixels[idxs[k]]))
+        for k in range(len(idxs)):
+            if out[k] is None:
+                out[k] = self.items[idxs[k]]
+        return out
+
     def cell_count(self) -> int:
         return len(self.pixels)
 
-    # -- ops (sorted two-pointer merges over pixel ids) ------------------
+    # -- ops (vectorized pixel-set skeletons; Python only touches the
+    #    COMMON pixels' per-pixel doc-set math) --------------------------
     def union(self, other: "CQR") -> "CQR":
         post = self.postings or other.postings
-        pix, fm, items = [], [], []
-        i = j = 0
         a, b = self, other
-        while i < len(a.pixels) or j < len(b.pixels):
-            pa_ = a.pixels[i] if i < len(a.pixels) else None
-            pb = b.pixels[j] if j < len(b.pixels) else None
-            if pb is None or (pa_ is not None and pa_ < pb):
-                pix.append(pa_); fm.append(a.fm[i]); items.append(a.items[i]); i += 1
-            elif pa_ is None or pb < pa_:
-                pix.append(pb); fm.append(b.fm[j]); items.append(b.items[j]); j += 1
-            else:
-                f = bool(a.fm[i] or b.fm[j])
-                pix.append(pa_); fm.append(f)
-                items.append(None if f else np.union1d(a.items[i], b.items[j]))
-                i += 1; j += 1
-        return CQR(np.array(pix, np.int64), np.array(fm, bool), items, post)
+        common, ia, ib = np.intersect1d(a.pixels, b.pixels, return_indices=True)
+        only_a = np.ones(len(a.pixels), bool); only_a[ia] = False
+        only_b = np.ones(len(b.pixels), bool); only_b[ib] = False
+        pix_parts = [a.pixels[only_a], b.pixels[only_b], common]
+        fm_parts = [a.fm[only_a], b.fm[only_b], a.fm[ia] | b.fm[ib]]
+        items = [a.items[i] for i in np.nonzero(only_a)[0]]
+        items += [b.items[j] for j in np.nonzero(only_b)[0]]
+        for i, j in zip(ia, ib):
+            items.append(
+                None if (a.fm[i] or b.fm[j]) else np.union1d(a.items[i], b.items[j])
+            )
+        pix = np.concatenate(pix_parts)
+        fm = np.concatenate(fm_parts)
+        order = np.argsort(pix, kind="stable")
+        return CQR(pix[order], fm[order], [items[k] for k in order], post)
 
     def intersect(self, other: "CQR") -> "CQR":
         post = self.postings or other.postings
@@ -101,38 +122,53 @@ class CQR:
 
     def difference(self, other: "CQR") -> "CQR":
         post = self.postings or other.postings
-        pix, fm, items = [], [], []
-        bidx = {int(p): j for j, p in enumerate(other.pixels)}
-        for i, p in enumerate(self.pixels):
-            j = bidx.get(int(p))
-            if j is None:
-                pix.append(p); fm.append(self.fm[i]); items.append(self.items[i])
-                continue
-            if other.fm[j]:
+        a, b = self, other
+        common, ia, ib = np.intersect1d(a.pixels, b.pixels, return_indices=True)
+        only_a = np.ones(len(a.pixels), bool); only_a[ia] = False
+        keep_a = np.nonzero(only_a)[0]
+        pix = [a.pixels[keep_a]]
+        fm = [a.fm[keep_a]]
+        items = [a.items[i] for i in keep_a]
+        c_pix, c_items = [], []
+        a_docs = a._docs_many(ia)  # bulk fm expansion, aligned with ia
+        for k, (i, j) in enumerate(zip(ia, ib)):
+            if b.fm[j]:
                 continue  # every doc of the pixel removed
-            docs = np.setdiff1d(self._docs(i), other.items[j], assume_unique=True)
+            docs = np.setdiff1d(a_docs[k], b.items[j], assume_unique=True)
             if len(docs):
-                pix.append(p); fm.append(False); items.append(docs)
-        return CQR(np.array(pix, np.int64), np.array(fm, bool), items, post)
+                c_pix.append(a.pixels[i]); c_items.append(docs)
+        pix.append(np.array(c_pix, np.int64))
+        fm.append(np.zeros(len(c_pix), bool))
+        items += c_items
+        pixc = np.concatenate(pix)
+        fmc = np.concatenate(fm)
+        order = np.argsort(pixc, kind="stable")
+        return CQR(pixc[order], fmc[order], [items[k] for k in order], post)
 
     def sym_diff(self, other: "CQR") -> "CQR":
         post = self.postings or other.postings
-        pix, fm, items = [], [], []
-        i = j = 0
         a, b = self, other
-        while i < len(a.pixels) or j < len(b.pixels):
-            pa_ = a.pixels[i] if i < len(a.pixels) else None
-            pb = b.pixels[j] if j < len(b.pixels) else None
-            if pb is None or (pa_ is not None and pa_ < pb):
-                pix.append(pa_); fm.append(a.fm[i]); items.append(a.items[i]); i += 1
-            elif pa_ is None or pb < pa_:
-                pix.append(pb); fm.append(b.fm[j]); items.append(b.items[j]); j += 1
-            else:
-                docs = np.setxor1d(a._docs(i), b._docs(j), assume_unique=True)
-                if len(docs):
-                    pix.append(pa_); fm.append(False); items.append(docs)
-                i += 1; j += 1
-        return CQR(np.array(pix, np.int64), np.array(fm, bool), items, post)
+        common, ia, ib = np.intersect1d(a.pixels, b.pixels, return_indices=True)
+        only_a = np.ones(len(a.pixels), bool); only_a[ia] = False
+        only_b = np.ones(len(b.pixels), bool); only_b[ib] = False
+        ka, kb = np.nonzero(only_a)[0], np.nonzero(only_b)[0]
+        pix = [a.pixels[ka], b.pixels[kb]]
+        fm = [a.fm[ka], b.fm[kb]]
+        items = [a.items[i] for i in ka] + [b.items[j] for j in kb]
+        c_pix, c_items = [], []
+        a_docs = a._docs_many(ia)
+        b_docs = b._docs_many(ib)
+        for k, (i, j) in enumerate(zip(ia, ib)):
+            docs = np.setxor1d(a_docs[k], b_docs[k], assume_unique=True)
+            if len(docs):
+                c_pix.append(a.pixels[i]); c_items.append(docs)
+        pix.append(np.array(c_pix, np.int64))
+        fm.append(np.zeros(len(c_pix), bool))
+        items += c_items
+        pixc = np.concatenate(pix)
+        fmc = np.concatenate(fm)
+        order = np.argsort(pixc, kind="stable")
+        return CQR(pixc[order], fmc[order], [items[k] for k in order], post)
 
     def all_to_full(self) -> "CQR":
         """FM_CONVERSION_OP: promote all partial pixels to full
@@ -142,10 +178,22 @@ class CQR:
 
     def flaten(self) -> np.ndarray:
         """Union of all per-pixel doc sets → sorted doc ids
-        (the reference spelling, apps/mainq.cpp:235)."""
+        (the reference spelling, apps/mainq.cpp:235).
+
+        Full-match pixels expand through the postings store's BULK path
+        when available (``postings.many``): one vectorized gather per
+        covering row group instead of 10⁵ per-pixel lookups at scale."""
         if not len(self.pixels):
             return np.empty(0, np.int64)
-        parts = [self._docs(i) for i in range(len(self.pixels))]
+        parts = [self.items[i] for i in np.nonzero(~self.fm)[0]]
+        fm_pix = self.pixels[self.fm]
+        if len(fm_pix):
+            if hasattr(self.postings, "many"):
+                parts.append(self.postings.many(fm_pix))
+            else:
+                parts.extend(self.postings(int(p)) for p in fm_pix)
+        if not parts:
+            return np.empty(0, np.int64)
         return np.unique(np.concatenate(parts))
 
     def apply(self, op: str, other: "CQR") -> "CQR":

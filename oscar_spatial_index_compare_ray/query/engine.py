@@ -54,6 +54,23 @@ _FALLBACK = {
 }
 
 
+class _PostingsLookup:
+    """Scalar + BULK postings access, threaded through CQR set ops (the
+    ops propagate `postings`, so flatten always sees the bulk path)."""
+
+    def __init__(self, backend):
+        self._b = backend
+
+    def __call__(self, pixel: int) -> np.ndarray:
+        return self._b.post(int(pixel))
+
+    def many(self, pixels: np.ndarray) -> np.ndarray:
+        return self._b.post_many(pixels)
+
+    def many_split(self, pixels: np.ndarray) -> list:
+        return self._b.post_many_split(pixels)
+
+
 class QueryEngine:
     def __init__(
         self,
@@ -66,6 +83,7 @@ class QueryEngine:
         self.grid = get_grid(grid_name, default_level=level)
         self.level = level
         self.supported_qts = supported_qts
+        self._plookup = _PostingsLookup(backend)
 
     @classmethod
     def from_tables(
@@ -118,10 +136,10 @@ class QueryEngine:
         return self.backend.post(int(pixel))
 
     def _cqr_from_rows(self, pixels, fm, items) -> CQR:
-        return CQR.from_rows(pixels, fm, items, self._post)
+        return CQR.from_rows(pixels, fm, items, self._plookup)
 
     def _empty(self) -> CQR:
-        return CQR.empty(self._post)
+        return CQR.empty(self._plookup)
 
     # -- term leaves -----------------------------------------------------
     def _matching_terms(self, value: str, qt: str) -> list[str]:
@@ -149,22 +167,37 @@ class QueryEngine:
 
     def _union_pixel_rows(self, pixels: np.ndarray, fm: np.ndarray, items: list) -> CQR:
         """Union the combined per-(term, pixel) rows into one CQR
-        (accumulate per pixel, fm wins)."""
-        acc: dict[int, np.ndarray | None] = {}  # None == full match
-        for k in range(len(pixels)):
-            p = int(pixels[k])
-            if p in acc and acc[p] is None:
-                continue  # already full
-            if fm[k]:
-                acc[p] = None
-            elif p in acc:
-                acc[p] = np.union1d(acc[p], items[k])
+        (fm wins per pixel).  Vectorized: one argsort finds duplicate
+        pixels; Python touches only the (rare) multi-term overlaps —
+        the round-1 per-row dict loop cost ~seconds on 10⁵-row prefix
+        expansions at sf0.1×40."""
+        n = len(pixels)
+        if n == 0:
+            return self._empty()
+        pixels = np.asarray(pixels, np.int64)
+        fm = np.asarray(fm, bool)
+        order = np.argsort(pixels, kind="stable")
+        p, f = pixels[order], fm[order]
+        gstart = np.nonzero(np.r_[True, p[1:] != p[:-1]])[0]
+        if len(gstart) == n:  # no duplicate pixels: rows pass through
+            it = [None if f[i] else items[order[i]] for i in range(n)]
+            return CQR(p, f, it, self._plookup)
+        bounds = np.r_[gstart, n]
+        out_p, out_f, out_i = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s == 1:
+                out_p.append(p[s]); out_f.append(bool(f[s]))
+                out_i.append(None if f[s] else items[order[s]])
             else:
-                acc[p] = items[k]
-        pix = sorted(acc)
-        fm_arr = [acc[p] is None for p in pix]
-        item_arr = [acc[p] for p in pix]
-        return self._cqr_from_rows(pix, fm_arr, item_arr)
+                anyfm = bool(f[s:e].any())
+                out_p.append(p[s]); out_f.append(anyfm)
+                out_i.append(
+                    None if anyfm else np.unique(
+                        np.concatenate([items[order[j]] for j in range(s, e)])
+                    )
+                )
+        return CQR(np.array(out_p, np.int64), np.array(out_f, bool), out_i,
+                   self._plookup)
 
     def _term_cqr(self, leaf: TermLeaf) -> CQR:
         """Term leaf, payload-family-selected (HcqrOpTree.cpp:24-45:

@@ -93,6 +93,8 @@ class HCQR:
         leaves = self._leaves_under(pix, lvl)
         if not len(leaves):
             return np.empty(0, np.int64)
+        if hasattr(self.postings, "many"):  # bulk gather (backend path)
+            return np.unique(self.postings.many(leaves))
         return np.unique(np.concatenate([self.postings(int(p)) for p in leaves]))
 
     def _clone_empty(self) -> "HCQR":
