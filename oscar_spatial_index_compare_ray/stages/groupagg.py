@@ -220,6 +220,79 @@ def grouped_count_distinct(
                               out_schema=out_schema)
 
 
+def keyed_inner_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Reduce-side inner equi-join on ONE key column via the key-complete
+    sort exchange — the engine's robust replacement for
+    ``Dataset.join`` where an input may carry EMPTY blocks.
+
+    Ray 2.49's hash-shuffle ``Dataset.join`` crashes
+    (``ArrowInvalid: No match ... FieldRef``) whenever a join input
+    contains empty blocks — even TYPED empty ones — because a shuffle
+    partition fed no shards finalizes a column-less table (reproduced;
+    round-2 ``dedup_clusters`` red row).  Materialized unions/groupbys
+    routinely produce such blocks, so every join downstream of an
+    exchange needs this path.  Mechanics: tag each side, align both to
+    the column superset (nulls for the other side's payloads), union,
+    ONE key-complete exchange, then a per-partition C++ ``Table.join``
+    of the two (always typed) sides.  Same shuffle volume as a hash
+    join; no per-partition aggregator actors (which also deadlock at
+    small CPU counts — see SCALE.md).
+    """
+    lcols = [f for f in left_schema if f.name != key]
+    rcols = [f for f in right_schema if f.name != key]
+    dup = {f.name for f in lcols} & {f.name for f in rcols}
+    if dup:
+        raise ValueError(f"payload column collision: {sorted(dup)}")
+    key_type = left_schema.field(key).type
+    union_schema = pa.schema(
+        [(key, key_type)]
+        + [(f.name, f.type) for f in lcols + rcols]
+        + [("__side", pa.int8())]
+    )
+    out_schema = pa.schema(
+        [(key, key_type)] + [(f.name, f.type) for f in lcols + rcols]
+    )
+    lnames = [f.name for f in lcols]
+    rnames = [f.name for f in rcols]
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0 or batch.num_columns == 0:
+                return union_schema.empty_table()
+            cols = {key: batch.column(key)}
+            for fld in lcols + rcols:
+                cols[fld.name] = (
+                    batch.column(fld.name)
+                    if fld.name in batch.schema.names
+                    else pa.nulls(n, fld.type)
+                )
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols).cast(union_schema)
+
+        return f
+
+    tagged = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def join_block(batch: pa.Table) -> pa.Table:
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        l_tbl = batch.filter(pa.array(side == 0)).select([key] + lnames)
+        r_tbl = batch.filter(pa.array(side == 1)).select([key] + rnames)
+        return l_tbl.join(r_tbl, keys=[key], join_type="inner").select(
+            [key] + lnames + rnames
+        )
+
+    return _partitioned_apply(tagged, [key], 0, join_block, out_schema=out_schema)
+
+
 def salted_sorted_unique_lists(
     ds: ray.data.Dataset,
     keys: list[str],
