@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.q_knn,
         "search_exact": q.q_search_exact,
         "search_prefix": q.q_search_prefix,
+        "search_suffix": q.q_search_suffix,
+        "search_substring": q.q_search_substring,
         "search_union": q.q_search_union,
         "search_intersect": q.q_search_intersect,
         "search_diff": q.q_search_diff,
@@ -86,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rect": q.q_search_rect,
         "search_item": q.q_search_item,
         "search_region_payload": q.q_search_region_payload,
+        "search_region_payload_s2": q.q_search_region_payload_s2,
         "term_df": q.q_term_df,
         "text_index": q.q_text_index,
         "pixel_doc_counts": q.q_pixel_doc_counts,
@@ -220,6 +223,22 @@ def _traindata_oracles() -> dict[str, str]:
             f"  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u) "
             f"SELECT u AS doc_id, least(u, min(v)) AS keeper FROM reach GROUP BY u"
         ),
+        # stopword-profile hit rates per language; winner = max score
+        # with ties to the lexicographically LARGEST lang (mirrors the
+        # engine's max(scores, key=(score, lang))); 'und' when no
+        # profile hits.  The stopword lists are generated from the SAME
+        # source (functions/textstats.STOPWORDS) to prevent drift.
+        "lang_id": _lang_id_sql(all_toks),
+        # GPT-2-style pretokens.  RE2 has no lookahead, but the Python
+        # pattern's whitespace branches ('\\s+(?!\\S)' | '\\s+') only
+        # produce matches the counter EXCLUDES (isspace()), and
+        # dropping them does not change which non-whitespace tokens
+        # match — verified equal on every corpus doc.
+        "token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'"
+            ")) AS n_bpe_tokens FROM documents"
+        ),
         "text_stats": (
             f"SELECT doc_id, length(text) AS n_chars, len({all_toks}) AS n_tokens, "
             f"len({toks}) AS n_unique_tokens, "
@@ -315,6 +334,33 @@ def _traindata_oracles() -> dict[str, str]:
     }
 
 
+def _lang_id_sql(all_toks: str) -> str:
+    """SQL mirror of functions/textstats.lang_id: per-language stopword
+    hit ratios over ALL tokens, winner by (score, lang) max."""
+    from oscar_spatial_index_compare_ray.functions.textstats import STOPWORDS
+
+    score_cols = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_cols.append(
+            f"CASE WHEN len(tk) = 0 THEN 0.0 ELSE "
+            f"len(list_filter(tk, x -> x IN ({words}))) / CAST(len(tk) AS DOUBLE) "
+            f"END AS s_{lang}"
+        )
+    langs_desc = sorted(STOPWORDS, reverse=True)  # tie → largest lang wins
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in STOPWORDS) + ")"
+    pick = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in langs_desc[:-1]:
+        pick += f"WHEN s_{lg} = {best} THEN '{lg}' "
+    pick += f"ELSE '{langs_desc[-1]}' END"
+    return (
+        f"WITH t AS (SELECT doc_id, {all_toks} AS tk FROM documents), "
+        f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM t) "
+        f"SELECT doc_id, {pick} AS lang_pred, "
+        f"CASE WHEN {best} = 0 THEN 0.0 ELSE round({best}, 6) END AS lang_conf FROM s"
+    )
+
+
 def _search_oracles(c: str) -> dict[str, str]:
     """Doc-level SQL recomputation of the op-tree searches: a doc is in
     the index iff it has >=1 geotag point; term match = tokenized text
@@ -331,9 +377,14 @@ def _search_oracles(c: str) -> dict[str, str]:
         )
 
     def prefix(t: str) -> str:
+        return affix(f"{t}%")
+
+    def affix(pattern: str) -> str:
+        """Term match by LIKE pattern over the tokenized text — the SQL
+        mirror of the suffix/substring/prefix query types."""
         return (
             f"SELECT DISTINCT doc_id FROM {pages} WHERE "
-            f"len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x LIKE '{t}%')) > 0 "
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x LIKE '{pattern}')) > 0 "
             f"AND doc_id IN (SELECT doc_id FROM {points})"
         )
 
@@ -364,6 +415,8 @@ def _search_oracles(c: str) -> dict[str, str]:
     return {
         "search_exact": f"SELECT doc_id FROM ({a})",
         "search_prefix": f"SELECT doc_id FROM ({prefix('tab')})",
+        "search_suffix": f"SELECT doc_id FROM ({affix('%ble')})",
+        "search_substring": f"SELECT doc_id FROM ({affix('%abl%')})",
         "search_union": f"({a}) UNION ({b})",
         "search_hcqr_union": f"({a}) UNION ({b})",
         "search_intersect": f"({a}) INTERSECT ({b})",
@@ -377,4 +430,7 @@ def _search_oracles(c: str) -> dict[str, str]:
         # restricts to the text domain exactly)
         "search_item": f"SELECT doc_id FROM ({a})",
         "search_region_payload": f"SELECT doc_id FROM ({region_prefix})",
+        # same SQL, served from a PERSISTED s2-grid index — the
+        # cross-grid debugDiff invariant on the file-served path
+        "search_region_payload_s2": f"SELECT doc_id FROM ({region_prefix})",
     }

@@ -153,6 +153,23 @@ def run_bench() -> dict:
         timings["query_serve_100q"] = dt
         timings["query_serve_ms_per_q"] = dt / max(len(battery), 1) * 1000.0
 
+        # vectorized substring/suffix TERM MATCH over the vocab (one
+        # pc.match_substring / pc.ends_with kernel call; VERDICT r2 #3
+        # replaced the per-query Python vocab scan)
+        subs = [t[1:4] for t in vocab[:40] if len(t) > 4][:20]
+        if subs:
+            eng._matching_terms(subs[0], "substring")  # builds vocab_arrow
+            t0 = time.perf_counter()
+            n_sub = sum(len(eng._matching_terms(s, "substring")) for s in subs)
+            timings["substring_term_match_ms"] = (
+                (time.perf_counter() - t0) / len(subs) * 1000.0
+            )
+            t0 = time.perf_counter()
+            n_suf = sum(len(eng._matching_terms(s, "suffix")) for s in subs)
+            timings["suffix_term_match_ms"] = (
+                (time.perf_counter() - t0) / len(subs) * 1000.0
+            )
+
     headline = timings["assign_h3"]
     result = {
         "metric": "spatial-join+cell-assignment sec (h3 res8, synthetic pages)",

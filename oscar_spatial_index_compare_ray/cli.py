@@ -71,14 +71,16 @@ def cmd_query(args) -> int:
         print("no queries given (-q or --query-file)", file=sys.stderr)
         return 2
 
-    from .pipelines.hcqr_index import hcqr_complete, open_hcqr_index
+    from .pipelines.hcqr_index import hcqr_tree, open_hcqr_index
 
     hidx = open_hcqr_index(eng)
 
-    def eval_hcqr(q):
+    def eval_hcqr_tree(q):
+        """Result TREE (depth()/number_of_nodes() carry the reference's
+        per-query compactness stats, apps/mainq.cpp:151-156)."""
         if hidx is not None:
             # file-backed static HCQR completer (apps/mainq.cpp:658-670)
-            return hcqr_complete(eng, hidx, q)
+            return hcqr_tree(eng, hidx, q)
         # build trees from flat CQRs (hcqr-from-sg completer, :640-656)
         from .query.hcqr import HCQR
         from .query.parser import SetOp, AllToFull, parse
@@ -92,7 +94,10 @@ def cmd_query(args) -> int:
                 return go(node.child).all_to_full()
             return HCQR.from_cqr(eng.evaluate(node), eng.grid, eng.level, leaf_pixels)
 
-        return go(parse(q)).items()
+        return go(parse(q))
+
+    def eval_hcqr(q):
+        return eval_hcqr_tree(q).items()
 
     if args.serve:
         # pooled serving path: N QueryServer actors, hash dispatch
@@ -129,9 +134,14 @@ def cmd_query(args) -> int:
         if args.verbose:
             print("   ", items[:50].tolist(), "..." if len(items) > 50 else "")
         if args.diff or args.hcqr:
-            h_items = eval_hcqr(q)
+            htree = eval_hcqr_tree(q)
+            h_items = htree.items()
             if args.hcqr:
-                print(f"    hcqr items={len(h_items)}")
+                # per-query tree-compactness report (depth() /
+                # numberOfNodes(), apps/mainq.cpp:151-156 +
+                # src/static-htm-index.cpp:358-368)
+                print(f"    hcqr items={len(h_items)} depth={htree.depth()} "
+                      f"nodes={htree.number_of_nodes()}")
             if args.diff:
                 # pairwise sym-diff across ALL completer variants
                 # (debugDiff analogue, apps/mainq.cpp:399-482): eager

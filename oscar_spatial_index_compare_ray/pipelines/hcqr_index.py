@@ -273,8 +273,15 @@ class HcqrTextIndex:
         chain = chain[::-1]
         node_map = h.roots
         node = None
-        for p in chain:
+        for i, p in enumerate(chain):
             node = node_map.setdefault(p, HNode())
+            if node.fm and i < len(chain) - 1:
+                # an fm ANCESTOR already covers this subtree: descending
+                # would graft children under an fm node (invariant: fm
+                # nodes are childless) — results were unaffected (all
+                # consumers check fm first) but node counts /
+                # compactify walked phantom nodes (ADVICE r2 #5)
+                return
             node_map = node.children
         if fm:
             node.fm = True
@@ -293,17 +300,22 @@ def open_hcqr_index(eng) -> HcqrTextIndex | None:
     out_dir = getattr(eng, "index_dir", None)
     if not out_dir or not os.path.isdir(os.path.join(out_dir, "hcqr")):
         return None
+    # _plookup (not the scalar-only _post bound method) so fm-node
+    # flattening takes the bulk post_many path — the 28s→1.1s
+    # heavy-query fix reaches the file-backed HCQR completer too
+    # (ADVICE r2 #4)
     return HcqrTextIndex(out_dir, eng.grid, eng.level,
-                         postings=eng._post, leaf_pixels=eng.populated_pixels(),
+                         postings=eng._plookup, leaf_pixels=eng.populated_pixels(),
                          vocab=eng.backend.vocab())
 
 
-def hcqr_complete(eng, hidx: HcqrTextIndex, query: str) -> np.ndarray:
-    """Evaluate a query through the PERSISTED HCQR payloads: term leaves
-    come from `dir/hcqr/` trees (the static-hcqr completer,
-    apps/mainq.cpp:658-670); non-term leaves fall back to tree-from-CQR
-    (the reference's hcqr-from-sg completer, :640-656).  Returns the
-    flattened sorted doc ids."""
+def hcqr_tree(eng, hidx: HcqrTextIndex, query: str) -> HCQR:
+    """Evaluate a query through the PERSISTED HCQR payloads and return
+    the result TREE: term leaves come from `dir/hcqr/` trees (the
+    static-hcqr completer, apps/mainq.cpp:658-670); non-term leaves
+    fall back to tree-from-CQR (the reference's hcqr-from-sg completer,
+    :640-656).  The tree exposes depth()/number_of_nodes() — the
+    reference's per-query compactness stats (apps/mainq.cpp:151-156)."""
     from ..query.parser import AllToFull, SetOp, TermLeaf, parse
     from .text_index import FAMILY_ITEM, FAMILY_MIXED, FAMILY_REGION
 
@@ -320,4 +332,9 @@ def hcqr_complete(eng, hidx: HcqrTextIndex, query: str) -> np.ndarray:
         return HCQR.from_cqr(eng.evaluate(node), eng.grid, eng.level,
                              eng.populated_pixels())
 
-    return go(parse(query)).items()
+    return go(parse(query))
+
+
+def hcqr_complete(eng, hidx: HcqrTextIndex, query: str) -> np.ndarray:
+    """hcqr_tree flattened to the sorted doc ids (HCQR::items())."""
+    return hcqr_tree(eng, hidx, query).items()

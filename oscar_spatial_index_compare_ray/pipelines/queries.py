@@ -252,6 +252,19 @@ def q_search_prefix(sf_dir: str) -> pa.Table:
     return _search(sf_dir, "tab*")
 
 
+def q_search_suffix(sf_dir: str) -> pa.Table:
+    """Suffix query type (`*ble`): normalize() maps the leading-star
+    affix to qt=suffix (include/hic/static-htm-index.h:213-216; qt slot
+    src/OscarSearchSgIndex.cpp:37-51)."""
+    return _search(sf_dir, "*ble")
+
+
+def q_search_substring(sf_dir: str) -> pa.Table:
+    """Substring query type (`*abl*`): both-star affix → qt=substring;
+    term match is one vectorized pc.match_substring over the vocab."""
+    return _search(sf_dir, "*abl*")
+
+
 def q_search_union(sf_dir: str) -> pa.Table:
     return _search(sf_dir, "table + window")
 
@@ -292,6 +305,21 @@ def q_search_region_payload(sf_dir: str) -> pa.Table:
     docs contained in any region whose name starts 'region_00'
     (src/OscarSearchSgIndex.cpp:471-488 regions pass)."""
     return _search(sf_dir, "$region:region_00*")
+
+
+def q_search_region_payload_s2(sf_dir: str) -> pa.Table:
+    """The STRING_REGION prefix leaf of q_search_region_payload served
+    from a PERSISTED index on the s2 grid (families build + parquet
+    round trip + row-group-pruned serving, all at a SECOND grid) —
+    extends the reference's cross-engine debugDiff invariant
+    (apps/mainq.cpp:399-482) to the file-served path across grids: the
+    driver gate proves h3-served and s2-served results both equal the
+    same SQL recomputation."""
+    from .search import build_query_engine
+
+    eng = build_query_engine(sf_dir, grid="s2", level=8)
+    docs = eng.complete("$region:region_00*").flaten()
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
 def q_term_df(sf_dir: str) -> "ray.data.Dataset":

@@ -433,8 +433,12 @@ def _salted_classify(
         cols["doc_id"] = vals
         return pa.table(cols)
 
+    # level 2 partitions by (term, pixel): each (term, pixel) group is
+    # complete after level 1, so per-task memory is pixel-bounded even
+    # for stop-word terms — partitioning by term alone put a hot term's
+    # whole exploded row set in ONE finalize task (ADVICE r2 #3)
     return _partitioned_apply(
-        l1, ["term"], num_partitions, _Finalize(counts_ref),
+        l1, ["term", "pixel_key"], num_partitions, _Finalize(counts_ref),
         out_schema=pa.schema(fam_fields + [
             ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
             ("n", pa.int64()), ("items", pa.list_(pa.int64())),

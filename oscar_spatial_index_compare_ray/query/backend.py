@@ -296,6 +296,15 @@ class InMemoryBackend:
     def vocab(self) -> np.ndarray:
         return self._vocab
 
+    def vocab_arrow(self) -> pa.Array:
+        """Arrow large_string view of the sorted vocabulary, built once
+        and cached — input to the vectorized suffix/substring term
+        match (pc.ends_with / pc.match_substring): one C++ kernel call
+        instead of a single-threaded Python scan over every term."""
+        if getattr(self, "_vocab_arrow", None) is None:
+            self._vocab_arrow = pa.array(self._vocab, type=pa.large_string())
+        return self._vocab_arrow
+
     def has_families(self) -> bool:
         return self._ti_family is not None
 
@@ -499,6 +508,13 @@ class ParquetBackend:
 
     def vocab(self) -> np.ndarray:
         return self._vocab
+
+    def vocab_arrow(self) -> pa.Array:
+        """Arrow large_string view of the sorted vocabulary, built once
+        and cached (see InMemoryBackend.vocab_arrow)."""
+        if getattr(self, "_vocab_arrow", None) is None:
+            self._vocab_arrow = pa.array(self._vocab, type=pa.large_string())
+        return self._vocab_arrow
 
     def has_families(self) -> bool:
         return self._has_families

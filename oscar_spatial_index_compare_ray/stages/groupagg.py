@@ -94,16 +94,40 @@ def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: in
     sort emits schema-less empty blocks when sampled boundaries repeat
     (hot keys guarantee duplicates at scale), and an untyped empty
     return would make the operator's bundle schemas inconsistent (the
-    round-1 'RefBundle with a different schema' warning)."""
+    round-1 'RefBundle with a different schema' warning).
+
+    Key-completeness GUARD (ADVICE r2 #1): the pattern assumes each
+    sort-reduce partition arrives as exactly one never-split block.  If
+    Ray's dynamic block splitting (or a future Ray) ever splits a
+    partition mid-key, one key's rows straddle two batches and the
+    per-block aggregate silently emits duplicate partial rows.  The
+    per-task closure cell below compares the last key hash of one batch
+    with the first of the next (split blocks of one task output stay
+    in one downstream bundle, so consecutive calls in a task see them
+    in order) and RAISES instead of corrupting the output; rerun the
+    stage with a larger ``DataContext.target_max_block_size`` or fall
+    back to ``groupby(keys).map_groups`` if it ever fires."""
     ds = _with_khash(ds, keys)
 
-    def per_block(batch: pa.Table) -> pa.Table:
+    def per_block(batch: pa.Table, _last=[None]) -> pa.Table:
         if batch.num_columns == 0:
             # empty range partition from duplicate sort-sample
             # boundaries (hot keys) — emit a TYPED empty block
             if out_schema is not None:
                 return out_schema.empty_table()
             return batch
+        if batch.num_rows:
+            kh = batch.column(KHASH_COL)
+            first = kh[0].as_py()
+            if _last[0] is not None and _last[0] == first:
+                raise RuntimeError(
+                    "key-complete exchange violated: a sort partition was "
+                    "split mid-key (same __khash on both sides of a block "
+                    "boundary); results would contain duplicate partial "
+                    "groups — raise DataContext.target_max_block_size or "
+                    "use groupby().map_groups for this stage"
+                )
+            _last[0] = kh[len(kh) - 1].as_py()
         return block_fn(batch.drop_columns([KHASH_COL]))
 
     return ds.sort(KHASH_COL).map_batches(
@@ -226,10 +250,19 @@ def keyed_inner_join(
     key: str,
     left_schema: pa.Schema,
     right_schema: pa.Schema,
+    num_partitions: int = 0,
 ) -> ray.data.Dataset:
     """Reduce-side inner equi-join on ONE key column via the key-complete
     sort exchange — the engine's robust replacement for
     ``Dataset.join`` where an input may carry EMPTY blocks.
+
+    ``num_partitions`` (0 = follow upstream blocks) REPARTITIONS the
+    tagged union before the exchange.  Output block count otherwise
+    equals left_blocks + right_blocks, which COMPOUNDS in iterative
+    pipelines (a label-propagation loop that joins its own output
+    grows ~3x blocks per round — millions of tiny blocks by round 10,
+    a driver-metadata explosion measured at 28 GB RSS with all workers
+    idle).  Any join inside a loop must pass a bound here.
 
     Ray 2.49's hash-shuffle ``Dataset.join`` crashes
     (``ArrowInvalid: No match ... FieldRef``) whenever a join input
@@ -281,6 +314,8 @@ def keyed_inner_join(
     tagged = left.map_batches(
         tag(0), batch_format="pyarrow", zero_copy_batch=True
     ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    if num_partitions > 0:
+        tagged = tagged.repartition(num_partitions)
 
     def join_block(batch: pa.Table) -> pa.Table:
         side = batch.column("__side").to_numpy(zero_copy_only=False)

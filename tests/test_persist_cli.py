@@ -91,6 +91,40 @@ def test_cli_query_file_benchmark(index_dir, tmp_path, capsys):
     assert len(lines) == 3
 
 
+def test_cli_hcqr_stats_match_tree_walk(index_dir, capsys):
+    """--hcqr prints per-query depth/nodes (apps/mainq.cpp:151-156); the
+    numbers must equal an independent recursive walk of the same tree."""
+    import re
+
+    from oscar_spatial_index_compare_ray.cli import main
+    from oscar_spatial_index_compare_ray.pipelines.hcqr_index import (
+        hcqr_tree, open_hcqr_index)
+    from oscar_spatial_index_compare_ray.pipelines.persist import load_engine
+
+    q = "table + window"
+    rc = main(["query", "--index", index_dir, "-q", q, "--hcqr"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = re.search(r"depth=(\d+) nodes=(\d+)", out)
+    assert m, out
+    cli_depth, cli_nodes = int(m.group(1)), int(m.group(2))
+
+    eng = load_engine(index_dir)
+    hidx = open_hcqr_index(eng)
+    assert hidx is not None
+    tree = hcqr_tree(eng, hidx, q)
+
+    def walk(node):  # (depth, nodes) by direct recursion
+        if not node.children:
+            return 1, 1
+        ds, ns = zip(*(walk(c) for c in node.children.values()))
+        return 1 + max(ds), 1 + sum(ns)
+
+    stats = [walk(n) for n in tree.roots.values()]
+    assert cli_depth == max(d for d, _ in stats)
+    assert cli_nodes == sum(n for _, n in stats)
+
+
 def test_query_server_actor(index_dir):
     """Actor-held engine serves repeated queries from the persisted
     index (apps/mainq.cpp session analogue)."""

@@ -44,10 +44,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        # default 8; set RAY_GRAFT_CPUS=32 to mirror the driver's session
+        # (some Ray shuffle bugs only surface at high partition counts)
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -64,18 +70,22 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             mine = to_pandas(fn(sf_dir))
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}", flush=True)
             failures += 1
             continue
+        dt = time.perf_counter() - t0
         if name not in oracles:
-            print(f"OK?  {name}: rows={len(mine)} (no oracle; rows-only check)")
+            print(f"OK?  {name}: rows={len(mine)} (no oracle; rows-only check) [{dt:.1f}s]", flush=True)
             continue
         try:
             ref = con.execute(oracles[name]).df()
@@ -88,7 +98,7 @@ def main() -> int:
         status = "OK  " if (n1, c1, h1) == (n2, c2, h2) else "FAIL"
         if status == "FAIL":
             failures += 1
-        print(f"{status} {name}: rows {n1}/{n2} cols {'=' if c1 == c2 else f'{c1} vs {c2}'} hash {'=' if h1 == h2 else 'DIFFER'}")
+        print(f"{status} {name}: rows {n1}/{n2} cols {'=' if c1 == c2 else f'{c1} vs {c2}'} hash {'=' if h1 == h2 else 'DIFFER'} [{dt:.1f}s+{time.perf_counter()-t0-dt:.1f}s]", flush=True)
         if status == "FAIL" and n1 == n2 and c1 == c2:
             # show first differing rows to debug
             a = mine[sorted(mine.columns)].sort_values(sorted(mine.columns)).reset_index(drop=True)
