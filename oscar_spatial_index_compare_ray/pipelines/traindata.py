@@ -106,17 +106,64 @@ def q_text_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
-    """Heuristic language-ID per document (stopword profiles)."""
+    """Heuristic language-ID per document (stopword profiles).
+
+    Vectorized like q_text_stats: tokenize once per batch (C++ lower +
+    regex split), dictionary-encode, then ONE pc.is_in per language
+    over the distinct-token dictionary + a bincount per language —
+    stopword membership is computed per DISTINCT token, not per token
+    occurrence.  Winner = max score with ties to the lexicographically
+    largest language (the scan order makes np.argmax pick it), 'und'
+    when no profile hits — byte-identical to functions/textstats
+    .lang_id (pytest-asserted) and to the SQL oracle."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import STOPWORDS
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    sw_sets = {lg: pa.array(sorted(STOPWORDS[lg]), pa.string()) for lg in langs_desc}
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang_pred", pa.string()),
+        ("lang_conf", pa.float64()),
+    ])
 
     def lid(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        preds = [lang_id(t) for t in batch.column("text").to_pylist()]
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = batch.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        drep = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        d = pc.dictionary_encode(lists.values)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        empty_mask = pc.equal(d.dictionary, "").to_numpy(zero_copy_only=False)
+        empty_code = int(np.nonzero(empty_mask)[0][0]) if empty_mask.any() else -1
+        keep = codes != empty_code
+        drep_k, codes_k = drep[keep], codes[keep]
+        n_tok = np.bincount(drep_k, minlength=n)
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        scores = np.empty((len(langs_desc), n), np.float64)
+        for li, lg in enumerate(langs_desc):
+            in_sw = pc.is_in(d.dictionary, value_set=sw_sets[lg]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[li] = np.bincount(drep_k[in_sw[codes_k]], minlength=n) / denom
+        best = np.argmax(scores, axis=0)  # first max in DESC order = largest lang
+        conf = scores[best, np.arange(n)]
+        und = conf == 0.0
+        preds = np.asarray(langs_desc, dtype=object)[best]
+        preds[und] = "und"
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "lang_pred": pa.array([p[0] for p in preds], pa.string()),
-                "lang_conf": pa.array([p[1] for p in preds], pa.float64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_conf": pa.array(np.where(und, 0.0, np.round(conf, 6)),
+                                      pa.float64()),
             }
         )
 
@@ -856,17 +903,22 @@ def q_multimodal_decode(sf_dir: str) -> ray.data.Dataset:
 
 def q_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     """BPE-ish (GPT-2-pretokenizer-style) token counts per doc — the
-    LLM-budget token counter.  Rows-only at the driver gate (the
-    pretokenizer regex has no clean SQL mirror); unit-tested in
-    tests/test_functions.py."""
-    from ..functions.tokenize import bpe_ish_token_count
-
+    LLM-budget token counter.  ONE pc.count_substring_regex (RE2)
+    kernel per batch: the Python pattern's whitespace branches
+    ('\\s+(?!\\S)' | '\\s+') only yield matches the counter then
+    EXCLUDES (.isspace()), and dropping them does not change which
+    non-whitespace pretokens match — property-tested equal to the
+    per-row finditer counter (tests/test_functions.py) and mirrored by
+    the DuckDB regexp_extract_all oracle."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
     def cnt(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = [bpe_ish_token_count(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": pa.array(ids), "n_bpe_tokens": pa.array(n, pa.int64())})
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(batch.column("text"), pattern=pat)
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_bpe_tokens": n.cast(pa.int64())})
 
     return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -347,3 +347,36 @@ class TestTfIdf:
         # every non-empty doc gets ranks 1..min(3, vocab)
         for d, rk in seen.items():
             assert rk == set(range(1, len(rk) + 1))
+
+
+class TestVectorizedTextKernels:
+    """The batch-vectorized pipeline kernels must equal the scalar
+    reference kernels row for row (the scalar fns define semantics)."""
+
+    def test_lang_id_pipeline_equals_scalar(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import q_lang_id
+
+        rows = {r["doc_id"]: r for r in q_lang_id(SF).take_all()}
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            lg, conf = lang_id(t)
+            assert rows[d]["lang_pred"] == lg, d
+            assert abs(rows[d]["lang_conf"] - conf) < 1e-9, d
+
+    def test_bpe_count_pipeline_equals_scalar(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.tokenize import (
+            bpe_ish_token_count,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_token_count_bpe,
+        )
+
+        rows = {r["doc_id"]: r["n_bpe_tokens"]
+                for r in q_token_count_bpe(SF).take_all()}
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            assert rows[d] == bpe_ish_token_count(t), d
