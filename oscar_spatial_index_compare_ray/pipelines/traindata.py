@@ -446,28 +446,59 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
 
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = sorted(set(group.column("doc_id").to_pylist()))
-        out_a, out_b = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                out_a.append(docs[i])
-                out_b.append(docs[j])
-        return pa.table(
-            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
-        )
+    from ..stages.groupagg import _partitioned_apply
 
-    from ray.data.aggregate import Count
+    # candidate pairs, fully vectorized (NO per-group Python — the
+    # round-2 groupby().map_groups called a Python fn once per LSH
+    # bucket, millions of tiny calls at scale): one key-complete
+    # exchange on (band, band_hash), then segment arithmetic emits all
+    # in-bucket i<j pairs at once; a doc appears once per band, so
+    # bucket members are already distinct.
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        n = len(doc)
+        new_seg = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        seg_start_idx = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.r_[seg_start_idx, n])
+        # row r at position p of a segment of size s pairs with the
+        # s-1-p rows after it
+        seg_end = (seg_start_idx + seg_len)[seg_id]
+        cnt = seg_end - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        a_idx = np.repeat(np.arange(n), cnt)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        b_idx = np.arange(total) - off[:-1][a_idx] + a_idx + 1
+        lo = np.minimum(doc[a_idx], doc[b_idx])
+        hi = np.maximum(doc[a_idx], doc[b_idx])
+        t = pa.table({"doc_a": pa.array(lo, pa.int64()),
+                      "doc_b": pa.array(hi, pa.int64())})
+        return t.group_by(["doc_a", "doc_b"]).aggregate([]).cast(pair_schema)
+
+    cand = _partitioned_apply(buckets, ["band", "band_hash"], 0, block_pairs,
+                              out_schema=pair_schema)
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        return batch.group_by(["doc_a", "doc_b"]).aggregate([]).cast(pair_schema)
 
     # global pair dedup BEFORE verification (a pair surfaces from
-    # several bands; verify each pair once)
-    pairs = (
-        buckets.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # several bands; verify each pair once) — one exchange on the pair
+    # key + C++ distinct, no aggregator actors
+    pairs = _partitioned_apply(cand, ["doc_a", "doc_b"], 0, block_distinct,
+                               out_schema=pair_schema)
 
     # distributed verify: ship each side's shingle set to its pairs via
     # two hash joins (verify data travels WITH the rows — bucket-local,
@@ -1383,9 +1414,18 @@ def q_tfidf_top_terms(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
         s = tf * np.log(n_docs / df)
         terms = batch.column("term")
-        codes = np.unique(
-            np.asarray(terms.to_pylist(), dtype=object), return_inverse=True
-        )[1]
+        # lexicographic term codes without materializing every row as a
+        # Python string: dictionary-encode (C++), then rank only the
+        # DISTINCT values (first-seen dictionary order -> sorted rank)
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(
+            terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        )
+        dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        rank_of = np.empty(len(dict_vals), np.int64)
+        rank_of[np.argsort(dict_vals)] = np.arange(len(dict_vals))
+        codes = rank_of[enc.indices.to_numpy(zero_copy_only=False)]
         order = np.lexsort((codes, -tf, -s, d))
         ds_ = d[order]
         starts = np.r_[True, ds_[1:] != ds_[:-1]]
