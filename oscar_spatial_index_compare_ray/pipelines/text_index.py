@@ -322,6 +322,7 @@ def _salted_classify(
     num_partitions: int,
     salt_buckets: int,
     has_family: bool,
+    l2_pixel_bounded: bool = False,
 ) -> ray.data.Dataset:
     """Skew-safe shuffle #2: two-level aggregation with a SALT on the
     doc id (SURVEY.md §4 hot-key note; VERDICT round-1 #6 'wire hot-term
@@ -331,10 +332,18 @@ def _salted_classify(
     term's rows split across S bounded sub-partitions (a doc always
     lands in ONE salt, so cross-salt duplicates are impossible and the
     per-salt distinct doc lists are disjoint).  Level 2 re-groups the S
-    partial (term[, family], pixel, items) rows by term: per group the
-    fat unit is |docs(pixel) ∩ docs(term)| — pixel-bounded, not
-    term-bounded.  fm classification happens at level 2 against the
-    broadcast per-pixel totals; fm rows carry an EMPTY items list,
+    partial (term[, family], pixel, items) rows; by default it
+    partitions by TERM, so one finalize task holds a term's merged
+    posting rows — per-task memory is |postings(term)|-bounded (ADVICE
+    r2 #3: this is TERM-bounded, not pixel-bounded; level 1 is where
+    the heavy per-doc work splits).  For corpora where a single term's
+    postings exceed task memory, ``l2_pixel_bounded=True`` partitions
+    level 2 by (term, pixel) — each (term, pixel) group is complete
+    after level 1, per-task memory drops to the pixel intersection —
+    measured at ~1.6x wall cost (the level-2 exchange sorts a
+    ~|index|-cardinality key instead of a vocab-cardinality one), hence
+    opt-in.  fm classification happens at level 2 against the broadcast
+    per-pixel totals; fm rows carry an EMPTY items list,
     byte-schema-identical to _BlockClassifier's output."""
     import ray as _ray
 
@@ -433,12 +442,9 @@ def _salted_classify(
         cols["doc_id"] = vals
         return pa.table(cols)
 
-    # level 2 partitions by (term, pixel): each (term, pixel) group is
-    # complete after level 1, so per-task memory is pixel-bounded even
-    # for stop-word terms — partitioning by term alone put a hot term's
-    # whole exploded row set in ONE finalize task (ADVICE r2 #3)
+    l2_keys = ["term", "pixel_key"] if l2_pixel_bounded else ["term"]
     return _partitioned_apply(
-        l1, ["term", "pixel_key"], num_partitions, _Finalize(counts_ref),
+        l1, l2_keys, num_partitions, _Finalize(counts_ref),
         out_schema=pa.schema(fam_fields + [
             ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
             ("n", pa.int64()), ("items", pa.list_(pa.int64())),
@@ -500,6 +506,7 @@ def build_text_index(
     families: bool = False,
     salted: bool = True,
     salt_buckets: int = 8,
+    l2_pixel_bounded: bool = False,
 ) -> ray.data.Dataset:
     """Full text-index build; returns the text_index Dataset.
 
@@ -560,7 +567,8 @@ def build_text_index(
         if salted:
             return _salted_classify(pairs, counts_ref, pixel_col,
                                     num_partitions, salt_buckets,
-                                    has_family=families)
+                                    has_family=families,
+                                    l2_pixel_bounded=l2_pixel_bounded)
         fam_fields = [("family", pa.int8())] if families else []
         return _partitioned_apply(
             pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col),

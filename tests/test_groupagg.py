@@ -166,6 +166,12 @@ def test_salted_classify_hot_term(ray_session):
                          has_family=False).take_all()
     )
     assert plain == salted
+    # the opt-in pixel-bounded level 2 is byte-identical too
+    salted_px = canon(
+        _salted_classify(ds, counts_ref, "pixel", 8, salt_buckets=4,
+                         has_family=False, l2_pixel_bounded=True).take_all()
+    )
+    assert plain == salted_px
     # the hot term is full-match everywhere (every doc has it)
     assert all(plain[("the", int(p))][0] for p in tot_pix)
 
