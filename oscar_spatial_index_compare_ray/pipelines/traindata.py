@@ -575,35 +575,62 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = group.column("doc_id").to_pylist()
-        sigs = group.column("sig").to_pylist()
-        uniq = sorted(set(zip(docs, sigs)))
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                h = int(
-                    hamming64(
-                        np.array([uniq[i][1]], np.int64).view(np.uint64),
-                        np.array([uniq[j][1]], np.int64).view(np.uint64),
-                    )[0]
-                )
-                if h <= max_hamming:
-                    out_a.append(uniq[i][0])
-                    out_b.append(uniq[j][0])
-                    out_h.append(h)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
-            }
-        )
+    from ..stages.groupagg import _partitioned_apply
 
-    from ray.data.aggregate import Min
+    # in-bucket pair enumeration + Hamming verify, fully vectorized
+    # (same segment arithmetic as q_dedup_minhash — no per-bucket
+    # Python): one exchange on (band, key), emit all i<j pairs per
+    # segment at once, ONE hamming64 popcount kernel over every pair.
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("hamming", pa.int64())])
 
-    pairs = buckets.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = batch.column("sig").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key, band))
+        band, key, doc, sig = band[order], key[order], doc[order], sig[order]
+        n = len(doc)
+        new_seg = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        seg_start_idx = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.r_[seg_start_idx, n])
+        seg_end = (seg_start_idx + seg_len)[seg_id]
+        cnt = seg_end - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        a_idx = np.repeat(np.arange(n), cnt)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        b_idx = np.arange(total) - off[:-1][a_idx] + a_idx + 1
+        h = hamming64(sig[a_idx].view(np.uint64), sig[b_idx].view(np.uint64))
+        m = h <= max_hamming
+        if not m.any():
+            return pair_schema.empty_table()
+        a, b = doc[a_idx[m]], doc[b_idx[m]]
+        t = pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                      "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+                      "hamming": pa.array(h[m], pa.int64())})
+        return t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \
+                .rename_columns(["doc_a", "doc_b", "hamming"]).cast(pair_schema)
+
+    cand = _partitioned_apply(buckets, ["band", "key"], 0, block_pairs,
+                              out_schema=pair_schema)
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        return batch.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \
+                    .rename_columns(["doc_a", "doc_b", "hamming"]).cast(pair_schema)
+
+    # global dedup (a pair surfaces from every band it shares): one
+    # exchange on the pair key + C++ min — no aggregator actors
+    return _partitioned_apply(cand, ["doc_a", "doc_b"], 0, block_min,
+                              out_schema=pair_schema)
 
 
 # --------------------------------------------------------------------------
@@ -1273,29 +1300,64 @@ def q_dedup_embedding_lsh(sf_dir: str, tau: float = 0.45, planes: int = 4,
     buckets = ds.map_batches(BandRows, batch_format="pyarrow", zero_copy_batch=True,
                              concurrency=(1, 4))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        vids = group.column("vec_id").to_pylist()
-        nvs = group.column("nvec").to_pylist()
-        uniq = sorted({v: nv for v, nv in zip(vids, nvs)}.items())
-        a, b, cos = [], [], []
-        for i in range(len(uniq)):
-            va = np.frombuffer(uniq[i][1], np.float64)
-            for j in range(i + 1, len(uniq)):
-                c = float(va @ np.frombuffer(uniq[j][1], np.float64))
-                if c >= tau:
-                    a.append(uniq[i][0]); b.append(uniq[j][0]); cos.append(round(c, 6))
-        return pa.table({"vec_a": pa.array(a, pa.int64()),
-                         "vec_b": pa.array(b, pa.int64()),
-                         "cosine": pa.array(cos, pa.float64())})
-
-    from ray.data.aggregate import Min
+    from ..stages.groupagg import _partitioned_apply
 
     # bucket-local candidate generation AND verification (vectors ride
-    # in the bucket rows) → global pair dedup
-    verified = buckets.groupby(["band", "code"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-    return verified.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    # in the bucket rows), fully vectorized: one exchange on
+    # (band, code), per-segment matmul verify — no per-bucket Python
+    # (the same segment arithmetic as q_dedup_minhash/q_dedup_simhash)
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                             ("cosine", pa.float64())])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch.column("code").to_numpy(zero_copy_only=False)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        nv = batch.column("nvec")
+        nv = nv.combine_chunks() if isinstance(nv, pa.ChunkedArray) else nv
+        mat = np.frombuffer(b"".join(nv.to_pylist()), np.float64).reshape(len(vid), -1)
+        order = np.lexsort((vid, code, band))
+        band, code, vid, mat = band[order], code[order], vid[order], mat[order]
+        n = len(vid)
+        new_seg = np.r_[True, (band[1:] != band[:-1]) | (code[1:] != code[:-1])]
+        seg_start_idx = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.r_[seg_start_idx, n])
+        seg_end = (seg_start_idx + seg_len)[seg_id]
+        cnt = seg_end - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        a_idx = np.repeat(np.arange(n), cnt)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        b_idx = np.arange(total) - off[:-1][a_idx] + a_idx + 1
+        cos = np.einsum("ij,ij->i", mat[a_idx], mat[b_idx])
+        m = cos >= tau
+        if not m.any():
+            return pair_schema.empty_table()
+        a, b = vid[a_idx[m]], vid[b_idx[m]]
+        t = pa.table({"vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                      "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+                      "cosine": pa.array(np.round(cos[m], 6), pa.float64())})
+        return t.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "min")]) \
+                .rename_columns(["vec_a", "vec_b", "cosine"]).cast(pair_schema)
+
+    cand = _partitioned_apply(buckets, ["band", "code"], 0, block_pairs,
+                              out_schema=pair_schema)
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        return batch.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "min")]) \
+                    .rename_columns(["vec_a", "vec_b", "cosine"]).cast(pair_schema)
+
+    # global pair dedup (a pair surfaces from every band whose code
+    # matches) — one exchange on the pair key + C++ min
+    return _partitioned_apply(cand, ["vec_a", "vec_b"], 0, block_min,
+                              out_schema=pair_schema)
 
 
 def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":

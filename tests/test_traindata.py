@@ -380,3 +380,33 @@ class TestVectorizedTextKernels:
         docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
         for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
             assert rows[d] == bpe_ish_token_count(t), d
+
+
+class TestSimhashPipeline:
+    def test_pairs_equal_bruteforce(self, ray_session):
+        """4x16-bit banding is EXACT for hamming<=3 (pigeonhole: 3 bit
+        flips leave >=1 band untouched), so the blocked pipeline must
+        equal the all-pairs brute force."""
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.minhash import (
+            hamming64,
+            simhash,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_dedup_simhash,
+        )
+
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in q_dedup_simhash(SF).take_all()}
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs["doc_id"].to_pylist()
+        sigs = np.array([simhash(t) for t in docs["text"].to_pylist()],
+                        dtype=np.uint64)
+        expect = {}
+        for i in range(len(ids)):
+            h = hamming64(np.full(len(ids) - i - 1, sigs[i]), sigs[i + 1:])
+            for j in np.nonzero(h <= 3)[0]:
+                a, b = ids[i], ids[i + 1 + int(j)]
+                expect[(min(a, b), max(a, b))] = int(h[j])
+        assert got == expect
