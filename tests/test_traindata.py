@@ -410,3 +410,47 @@ class TestSimhashPipeline:
                 a, b = ids[i], ids[i + 1 + int(j)]
                 expect[(min(a, b), max(a, b))] = int(h[j])
         assert got == expect
+
+    def test_fingerprint_pipeline_equals_scalar(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.textstats import (
+            fingerprint,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_fingerprint,
+        )
+
+        rows = {r["doc_id"]: r for r in q_fingerprint(SF).take_all()}
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            sig = fingerprint(t)
+            assert rows[d]["n_fp"] == len(sig), d
+            assert rows[d]["fp_min"] == (int(sig.min()) if len(sig) else 0), d
+
+    def test_fingerprint_edge_cases(self, ray_session, tmp_path):
+        """Docs below the shingle size and below the window size take
+        the degenerate branches — absent from the synthetic corpus, so
+        exercised with a constructed table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.textstats import (
+            fingerprint,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_fingerprint,
+        )
+
+        texts = ["", "one", "two words", "a b c d",        # < k tokens
+                 "a b c d e", "a b c d e f g h i j",       # <= window shingles
+                 " ".join(f"w{i % 7}" for i in range(40)),  # window minima
+                 "x " * 30]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        rows = {r["doc_id"]: r for r in q_fingerprint(str(tmp_path)).take_all()}
+        for d, txt in enumerate(texts):
+            sig = fingerprint(txt)
+            assert rows[d]["n_fp"] == len(sig), (d, txt)
+            assert rows[d]["fp_min"] == (int(sig.min()) if len(sig) else 0), (d, txt)
