@@ -335,16 +335,95 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+
+def _batch_token_stream(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Whole-batch tokenizer + hasher shared by the dedup family: ONE
+    Arrow lower+regex split for every doc, blake2b only on the batch's
+    DISTINCT tokens (dictionary encode), hashes gathered back per
+    token.  Returns (doc_idx per token, uint64 token hashes, per-doc
+    token counts, n_docs) with tokens in document order."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    txt = batch.column("text")
+    txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = pc.dictionary_encode(lists.values)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_hashes = token_hashes(d.dictionary.to_pylist())
+    drep = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    empty_mask = pc.equal(d.dictionary, "").to_numpy(zero_copy_only=False)
+    empty_code = int(np.nonzero(empty_mask)[0][0]) if empty_mask.any() else -1
+    keep = codes != empty_code
+    drep, th = drep[keep], dict_hashes[codes[keep]]
+    return drep, th, np.bincount(drep, minlength=n), n
+
+
+_FNV64 = np.uint64(1099511628211)
+
+
+def _stream_doc_shingles(drep: np.ndarray, th: np.ndarray, n_tok: np.ndarray,
+                         n: int, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc SORTED-UNIQUE k-token shingle hashes over the whole
+    batch stream (semantics of functions/minhash.shingle_hashes,
+    pytest-asserted equal): rolling k-gram with doc-boundary masking;
+    docs with 0 < len < k fold all their tokens into one hash.
+    Returns (doc_idx sorted, values, per-doc starts of length n+1)."""
+    m = len(th)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(n_tok, out=starts[1:])
+    parts_d, parts_v = [], []
+    if m >= k:
+        sh = th[: m - k + 1].copy()
+        for i in range(1, k):
+            sh = sh * _FNV64 ^ th[i: m - k + 1 + i]
+        valid = drep[: m - k + 1] == drep[k - 1:]
+        parts_d.append(drep[: m - k + 1][valid])
+        parts_v.append(sh[valid])
+    short = np.nonzero((n_tok > 0) & (n_tok < k))[0]
+    if len(short):
+        vals = th[starts[short]].copy()
+        for i in range(1, k):
+            msk = n_tok[short] > i
+            vals[msk] = vals[msk] * _FNV64 ^ th[starts[short[msk]] + i]
+        parts_d.append(short)
+        parts_v.append(vals)
+    if parts_d:
+        sd = np.concatenate(parts_d)
+        sv = np.concatenate(parts_v)
+        order = np.lexsort((sv, sd))
+        sd, sv = sd[order], sv[order]
+        first = np.ones(len(sd), bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        sd, sv = sd[first], sv[first]
+    else:
+        sd = np.empty(0, np.int64)
+        sv = np.empty(0, np.uint64)
+    doc_starts = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(sd, minlength=n), out=doc_starts[1:])
+    return sd, sv, doc_starts
+
+
 def _doc_token_sets(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, tokens: binary) — sorted unique token-hash set per doc,
-    packed as little-endian uint64 bytes, computed DISTRIBUTED (same
-    blob convention as _doc_shingles)."""
+    packed as little-endian uint64 bytes, computed DISTRIBUTED and
+    batch-vectorized (blake2b per DISTINCT token of the batch, one
+    lexsort for all per-doc sets)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tk(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        blobs = [np.unique(token_hashes(unique_terms(t))).tobytes()
-                 for t in batch.column("text").to_pylist()]
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        order = np.lexsort((th, drep))
+        sd, sv = drep[order], th[order]
+        first = np.ones(len(sd), bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        sd, sv = sd[first], sv[first]
+        st = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(sd, minlength=n), out=st[1:])
+        blobs = [sv[st[i]:st[i + 1]].tobytes() for i in range(n)]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -376,8 +455,9 @@ def _doc_shingles(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     def sh(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        blobs = [shingle_hashes(t, k=k).tobytes()
-                 for t in batch.column("text").to_pylist()]
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        _, sv, st = _stream_doc_shingles(drep, th, n_tok, n, k)
+        blobs = [sv[st[i]:st[i + 1]].tobytes() for i in range(n)]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -507,21 +587,41 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids, bnos, bhashes = [], [], []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sh = shingle_hashes(text, k=3)
-            sig = minhash_signature(sh, num_hashes)
-            bh = lsh_bands(sig, bands)
-            ids.extend([did] * bands)
-            bnos.extend(range(bands))
-            bhashes.extend(int(x) - (1 << 64 if x >= 1 << 63 else 0) for x in bh)
+        """Batch-vectorized minhash: shingles for ALL docs via the
+        shared stream kernel, then per hash family one rehash of the
+        whole shingle stream + np.minimum.reduceat over doc segments,
+        and the band fold applied column-wise across all docs at once —
+        semantics identical to shingle_hashes → minhash_signature →
+        lsh_bands per doc (pytest parity)."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        _, sv, st = _stream_doc_shingles(drep, th, n_tok, n, 3)
+        seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64) ^ np.uint64(0x5EED))
+        has = np.diff(st) > 0
+        seg_starts = st[:-1][has]
+        u64max = np.iinfo(np.uint64).max
+        sig = np.full((n, num_hashes), u64max, np.uint64)
+        for hi in range(num_hashes):
+            if len(sv):
+                mins = np.minimum.reduceat(splitmix64(sv ^ seeds[hi]), seg_starts) \
+                    if len(seg_starts) else np.empty(0, np.uint64)
+                sig[has, hi] = mins
+        rows = num_hashes // bands
+        bh = np.empty((n, bands), np.uint64)
+        for b in range(bands):
+            h = np.full(n, np.uint64(b + 1), np.uint64)
+            for r in range(rows):
+                h = splitmix64(h ^ sig[:, b * rows + r])
+            bh[:, b] = h
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bnos, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
             }
         )
 

@@ -454,3 +454,76 @@ class TestSimhashPipeline:
             sig = fingerprint(txt)
             assert rows[d]["n_fp"] == len(sig), (d, txt)
             assert rows[d]["fp_min"] == (int(sig.min()) if len(sig) else 0), (d, txt)
+
+
+class TestBatchStreamKernels:
+    """The shared batch tokenize/shingle/minhash stream kernels must
+    equal the per-doc scalar kernels exactly."""
+
+    def test_shingles_and_token_sets_equal_scalar(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.hashing import token_hashes
+        from oscar_spatial_index_compare_ray.functions.minhash import shingle_hashes
+        from oscar_spatial_index_compare_ray.functions.tokenize import unique_terms
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            _doc_shingles,
+            _doc_token_sets,
+        )
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+        sh = {r["doc_id"]: r["shingles"] for r in _doc_shingles(SF).take_all()}
+        tk = {r["doc_id"]: r["tokens"] for r in _doc_token_sets(SF).take_all()}
+        for d, t in texts.items():
+            assert sh[d] == shingle_hashes(t, k=3).tobytes(), d
+            assert tk[d] == np.unique(token_hashes(unique_terms(t))).tobytes(), d
+
+    def test_minhash_bands_equal_scalar(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.minhash import (
+            lsh_bands,
+            minhash_signature,
+            shingle_hashes,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.traindata import read_table
+
+        import pyarrow as pa
+
+        from oscar_spatial_index_compare_ray.pipelines import traindata as td
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        batch = pa.table({"doc_id": docs["doc_id"].combine_chunks(),
+                          "text": docs["text"].combine_chunks()})
+        # scalar expectation per (doc, band)
+        got = {}
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            sig = minhash_signature(shingle_hashes(t, k=3), 64)
+            for b, h in enumerate(lsh_bands(sig, 32)):
+                got[(d, b)] = int(h) - (1 << 64 if int(h) >= 1 << 63 else 0)
+        assert td.q_dedup_minhash(SF).count() >= 0  # pipeline stays green
+        # direct stage check: batch-vectorized band hashes equal scalar
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            _batch_token_stream,
+            _stream_doc_shingles,
+        )
+        from oscar_spatial_index_compare_ray.functions.hashing import splitmix64
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        _, sv, st = _stream_doc_shingles(drep, th, n_tok, n, 3)
+        seeds = splitmix64(np.arange(64, dtype=np.uint64) ^ np.uint64(0x5EED))
+        has = np.diff(st) > 0
+        seg_starts = st[:-1][has]
+        sig = np.full((n, 64), np.iinfo(np.uint64).max, np.uint64)
+        for hi in range(64):
+            if len(sv) and len(seg_starts):
+                sig[has, hi] = np.minimum.reduceat(splitmix64(sv ^ seeds[hi]), seg_starts)
+        for b in range(32):
+            h = np.full(n, np.uint64(b + 1), np.uint64)
+            for r in range(2):
+                h = splitmix64(h ^ sig[:, b * 2 + r])
+            for i, d in enumerate(ids):
+                expect = got[(int(d), b)]
+                assert int(h[i].view(np.int64)) == expect, (d, b)
