@@ -151,7 +151,7 @@ def oracle_sql() -> dict[str, str]:
         **_traindata_oracles(),
         "term_df": (
             f"SELECT term, count(*) AS df FROM ("
-            f"  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\W+'))) AS term"
+            f"  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'))) AS term"
             f"  FROM read_parquet('{c}/pages.parquet')"
             f") WHERE term <> '' GROUP BY term"
         ),
@@ -159,7 +159,7 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic-expressible simple grid
         "text_index": (
             f"WITH pts AS (SELECT DISTINCT doc_id, {simple_expr} AS pixel FROM {points}), "
-            f"tox AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\W+'))) AS term "
+            f"tox AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'))) AS term "
             f"        FROM read_parquet('{c}/pages.parquet')), "
             f"tot AS (SELECT pixel, count(DISTINCT doc_id) AS total FROM pts GROUP BY pixel), "
             f"tp AS (SELECT t.term, p.pixel, count(DISTINCT p.doc_id) AS n "
@@ -187,8 +187,8 @@ def _traindata_oracles() -> dict[str, str]:
     deterministic hashes on deterministic data, so the verified output
     equals ALL exact 3-gram-shingle-jaccard pairs >= τ (the SQL below;
     pytest asserts the equality on the test corpora)."""
-    toks = "list_filter(list_distinct(regexp_split_to_array(lower(text), '\\W+')), x -> x <> '')"
-    all_toks = "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+    toks = "list_filter(list_distinct(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+')), x -> x <> '')"
+    all_toks = "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'), x -> x <> '')"
     sw = "('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with')"
     # ordered 3-token shingles as strings (mirrors functions/minhash.py
     # shingle_hashes: <3 tokens fold into ONE whole-text shingle)
@@ -372,7 +372,7 @@ def _search_oracles(c: str) -> dict[str, str]:
     def term(t: str) -> str:
         return (
             f"SELECT DISTINCT doc_id FROM {pages} WHERE "
-            f"list_contains(regexp_split_to_array(lower(text), '\\W+'), '{t}') "
+            f"list_contains(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'), '{t}') "
             f"AND doc_id IN (SELECT doc_id FROM {points})"
         )
 
@@ -384,7 +384,7 @@ def _search_oracles(c: str) -> dict[str, str]:
         mirror of the suffix/substring/prefix query types."""
         return (
             f"SELECT DISTINCT doc_id FROM {pages} WHERE "
-            f"len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x LIKE '{pattern}')) > 0 "
+            f"len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'), x -> x LIKE '{pattern}')) > 0 "
             f"AND doc_id IN (SELECT doc_id FROM {points})"
         )
 

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.tokenize import unique_terms
+from ..functions.tokenize import TOKEN_SPLIT_RE, unique_terms
 from ..sources.readers import read_pages
 
 
@@ -60,7 +60,7 @@ def tokenize_pages(corpus_dir: str) -> ray.data.Dataset:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         txt = batch.column("text")
         txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
-        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = lists.values

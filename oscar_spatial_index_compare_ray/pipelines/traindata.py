@@ -18,16 +18,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.minhash import (
-    hamming64,
-    jaccard,
-    lsh_bands,
-    minhash_signature,
-    shingle_hashes,
-    simhash,
-)
+from ..functions.minhash import hamming64
 from ..functions.textstats import fingerprint, lang_id
-from ..functions.tokenize import unique_terms
+from ..functions.tokenize import TOKEN_SPLIT_RE
 from ..functions.hashing import splitmix64, token_hashes
 from ..sources.readers import read_table
 from ..stages.groupagg import keyed_inner_join
@@ -65,7 +58,7 @@ def q_text_stats(sf_dir: str) -> ray.data.Dataset:
         txt = batch.column("text")
         txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
         n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
-        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         drep = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
@@ -135,7 +128,7 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         txt = batch.column("text")
         txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
-        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         drep = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
@@ -176,23 +169,38 @@ def q_token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import collections
+        # whole-batch (VERDICT r3 #3 — replaces the per-row
+        # token_count() loop + defaultdict): ONE lower+split kernel for
+        # token counts (empty split pieces excluded, matching
+        # functions/textstats.token_count), then lang totals via
+        # dictionary-encode + bincount.
+        import pyarrow.compute as pc
 
-        langs = batch.column("lang").to_pylist()
-        texts = batch.column("text").to_pylist()
-        agg: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0])
-        from ..functions.textstats import token_count
-
-        for lg, t in zip(langs, texts):
-            a = agg[lg]
-            a[0] += token_count(t)
-            a[1] += 1
-        ks = sorted(agg)
+        n = batch.num_rows
+        txt = batch.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pieces = np.diff(offs)
+        n_tok = pieces.copy()
+        emp = pc.equal(lists.values, "").to_numpy(zero_copy_only=False)
+        if emp.any():
+            nz = pieces > 0
+            n_tok[nz] -= np.add.reduceat(emp.astype(np.int64), offs[:-1][nz])
+        lang = batch.column("lang")
+        lang = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        enc = pc.dictionary_encode(lang)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
         return pa.table(
             {
-                "lang": pa.array(ks, pa.string()),
-                "tok": pa.array([agg[k][0] for k in ks], pa.int64()),
-                "docs": pa.array([agg[k][1] for k in ks], pa.int64()),
+                "lang": enc.dictionary,
+                "tok": pa.array(
+                    np.bincount(codes, weights=n_tok, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+                "docs": pa.array(np.bincount(codes, minlength=k), pa.int64()),
             }
         )
 
@@ -231,7 +239,7 @@ def q_fingerprint(sf_dir: str, k: int = 5, window: int = 8) -> ray.data.Dataset:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         txt = batch.column("text")
         txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
-        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         d = pc.dictionary_encode(lists.values)
@@ -347,7 +355,7 @@ def _batch_token_stream(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.nda
     n = batch.num_rows
     txt = batch.column("text")
     txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
-    lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\W+")
+    lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
     lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
     offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     d = pc.dictionary_encode(lists.values)
@@ -710,12 +718,42 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
             )
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        sa = batch.column("sh_a").to_pylist()
-        sb = batch.column("sh_b").to_pylist()
-        jac = np.array([
-            jaccard(np.frombuffer(x, np.uint64), np.frombuffer(y, np.uint64))
-            for x, y in zip(sa, sb)
-        ])
+        # whole-batch exact jaccard via segment arithmetic (VERDICT r3
+        # minor #6 — replaces the per-pair jaccard() comprehension):
+        # each side's blob is a sorted-UNIQUE uint64 set, so after one
+        # lexsort of (pair_idx, value) over both sides concatenated, a
+        # value in the intersection appears exactly twice adjacently.
+        sa = batch.column("sh_a")
+        sb = batch.column("sh_b")
+        sa = sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa
+        sb = sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb
+        npairs = len(a)
+
+        def _blob_stream(arr: pa.BinaryArray) -> tuple[np.ndarray, np.ndarray]:
+            """(values concatenated as uint64, per-row set sizes) —
+            zero-copy from the binary column's offsets/data buffers
+            (slice-offset aware)."""
+            offs = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset: arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            vals = np.frombuffer(
+                arr.buffers()[2][offs[0]: offs[-1]], np.uint64
+            )
+            return vals, np.diff(offs) // 8
+
+        va, na = _blob_stream(sa)
+        vb, nb = _blob_stream(sb)
+        pair_rep = np.concatenate([np.repeat(np.arange(npairs, dtype=np.int64), na),
+                                   np.repeat(np.arange(npairs, dtype=np.int64), nb)])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pair_rep))
+        pr, vv = pair_rep[order], vals[order]
+        dup = (pr[1:] == pr[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pr[1:][dup], minlength=npairs)
+        union = na + nb - inter
+        # both-empty pair: jaccard defined as 1.0 (matches functions/
+        # minhash.jaccard)
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         m = jac >= tau
         return pa.table(
             {
@@ -735,22 +773,37 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids, bnos, keys, sigs = [], [], [], []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            s = int(simhash(text))
-            for b in range(4):
-                ids.append(did)
-                bnos.append(b)
-                keys.append((s >> (16 * b)) & 0xFFFF)
-                sigs.append(s - (1 << 64 if s >= 1 << 63 else 0))
+        # whole-batch SimHash (VERDICT r3 #1 — replaces the per-row
+        # simhash() loop): ONE tokenize/hash pass via the shared
+        # _batch_token_stream kernel, bit votes per doc via unpackbits +
+        # np.add.reduceat over doc segments, packbits back to uint64.
+        # Byte-identical to functions/minhash.simhash (bit i set iff
+        # 2*ones_i > n_tokens; empty doc → 0) — differential-tested.
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        sigs = np.zeros(n, np.uint64)
+        if len(th):
+            bits = np.unpackbits(
+                np.ascontiguousarray(th).view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little",
+            ).astype(np.int32)  # (n_tokens, 64)
+            ne = np.nonzero(n_tok > 0)[0]
+            starts = np.zeros(n + 1, np.int64)
+            np.cumsum(n_tok, out=starts[1:])
+            ones = np.add.reduceat(bits, starts[ne], axis=0)
+            votes_pos = (2 * ones) > n_tok[ne, None]
+            packed = np.packbits(votes_pos.astype(np.uint8), axis=1,
+                                 bitorder="little")
+            sigs[ne] = packed.view(np.uint64).ravel()
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        sig_rep = np.repeat(sigs, 4)
+        key = (sig_rep >> (np.uint64(16) * band.astype(np.uint64))) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bnos, pa.int32()),
-                "key": pa.array(keys, pa.int64()),
-                "sig": pa.array(sigs, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band": pa.array(band.astype(np.int32), pa.int32()),
+                "key": pa.array(key.astype(np.int64), pa.int64()),
+                "sig": pa.array(sig_rep.view(np.int64), pa.int64()),
             }
         )
 
@@ -818,23 +871,36 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 # embeddings: similarity search + near-dup
 # --------------------------------------------------------------------------
 
-def _embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _query_vector(sf_dir: str) -> np.ndarray:
+    """The benchmark query vector: the embedding with the SMALLEST
+    vec_id, found via parquet row-group STATISTICS — only the one row
+    group containing the global min is read (VERDICT r3 #5: the old
+    helper read the whole embeddings table onto the driver just to pick
+    one row)."""
     import os
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    o = np.argsort(ids)
-    return ids[o], mat[o]
+    f = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    md = f.metadata
+    ci = md.schema.to_arrow_schema().get_field_index("vec_id")
+    mins = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        mins.append(st.min if st is not None and st.has_min_max else None)
+    if any(m is None for m in mins):
+        rg_pick = 0  # no stats — fall back to the first row group
+    else:
+        rg_pick = int(np.argmin(np.asarray(mins)))
+    t = f.read_row_group(rg_pick, columns=["vec_id", "embedding"])
+    pos = int(np.argmin(t.column("vec_id").to_numpy()))
+    return np.asarray(t.column("embedding")[pos].as_py(), dtype=np.float64)
 
 
 def q_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k against the first vector (baseline ANN:
     per-batch numpy matmul vs a broadcast query matrix)."""
-    ids, mat = _embedding_matrix(sf_dir)
-    qv = mat[0]
+    qv = _query_vector(sf_dir)
     q_ref = ray.put(qv)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -975,17 +1041,12 @@ def q_ann_lsh(sf_dir: str, k: int = 10, planes: int = 12) -> pa.Table:
     cosine + per-batch local top-k, tiny driver merge.  Falls back to
     brute force over all vectors when the probe set is too small (toy
     corpora) — same per-batch top-k shape."""
-    import pyarrow.parquet as pq
-    import os as _os
-
     from ..functions.minhash import hamming64
 
-    # the single query vector: a pruned point read, not a table load
+    # the single query vector: a statistics-pruned row-group read, not
+    # a table load
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qt = pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"),
-                       columns=["vec_id", "embedding"])
-    qpos = int(np.argmin(qt.column("vec_id").to_numpy()))
-    qv = np.asarray(qt.column("embedding")[qpos].as_py(), dtype=np.float64)
+    qv = _query_vector(sf_dir)
     dim = len(qv)
     H = _ann_planes(planes, dim, 0xA17)
     qcode = np.uint64(((qv @ H.T > 0).astype(np.uint64)
@@ -1207,7 +1268,10 @@ def q_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     EXCLUDES (.isspace()), and dropping them does not change which
     non-whitespace pretokens match — property-tested equal to the
     per-row finditer counter (tests/test_functions.py) and mirrored by
-    the DuckDB regexp_extract_all oracle."""
+    the DuckDB regexp_extract_all oracle.  Scope (round-3 ADVICE): RE2
+    ``\\s`` is ASCII-only, so non-ASCII whitespace (U+00A0, …) counts
+    as a punctuation pretoken here but not in the scalar counter; the
+    token model is ASCII-whitespace-scoped (test pins the divergence)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
@@ -1552,9 +1616,16 @@ def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def sketch(batch: pa.Table) -> pa.Table:
+        # whole-batch (VERDICT r3 #3 — replaces the per-doc
+        # unique_terms() loop): one shared tokenize+hash kernel, one
+        # add_hashes over the batch's distinct token hashes.  Register
+        # state is identical — HLL updates are idempotent and
+        # order-insensitive, and _batch_token_stream uses the same
+        # token_hashes(blake2b) on the same token model.
         h = HLL(p)
-        for t in batch.column("text").to_pylist():
-            h.add_hashes(token_hashes(unique_terms(t)))
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        if len(th):
+            h.add_hashes(np.unique(th))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     merged = HLL(p)
@@ -1602,23 +1673,50 @@ def q_tfidf_top_terms(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     (doc, -score, -tf, term-code) + segment arithmetic).  Nothing
     vocabulary- or corpus-sized ever lands on the driver.
     Output: (doc_id, term, rank)."""
-    from ..functions.tokenize import tokenize
     from ..stages.groupagg import _partitioned_apply
 
     corpus_docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = corpus_docs.count()
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out_i, out_t = [], []
-        for i, t in zip(ids, batch.column("text").to_pylist()):
-            for w in tokenize(t):
-                out_i.append(int(i))
-                out_t.append(w)
-        tok = pa.table({"doc_id": pa.array(out_i, pa.int64()),
-                        "term": pa.array(out_t, pa.string())})
-        g = tok.group_by(["doc_id", "term"]).aggregate([("doc_id", "count")])
-        return g.rename_columns(["doc_id", "term", "tf"])
+        # whole-batch (VERDICT r3 #2 — replaces the per-row tokenize()
+        # double loop): ONE lower+split kernel (duplicates kept — this
+        # is tf), dictionary-encode, one lexsort over (doc, term-code),
+        # per-(doc,term) counts from segment arithmetic; term strings
+        # come back via ONE dictionary take.
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        txt = batch.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), TOKEN_SPLIT_RE)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pc.dictionary_encode(lists.values)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        drep = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        empty_mask = pc.equal(d.dictionary, "").to_numpy(zero_copy_only=False)
+        empty_code = int(np.nonzero(empty_mask)[0][0]) if empty_mask.any() else -1
+        keep = codes != empty_code
+        drep, codes = drep[keep], codes[keep]
+        order = np.lexsort((codes, drep))
+        dd, cc = drep[order], codes[order]
+        first = np.r_[True, (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])] \
+            if len(dd) else np.empty(0, bool)
+        idx = np.nonzero(first)[0]
+        tf = np.diff(np.r_[idx, len(dd)])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[dd[idx]], pa.int64()),
+                "term": d.dictionary.take(pa.array(cc[idx], pa.int64())),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
 
     tf_ds = corpus_docs.map_batches(tf_rows, batch_format="pyarrow",
                                     zero_copy_batch=True).materialize()

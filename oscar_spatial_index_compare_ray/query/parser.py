@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..functions.tokenize import normalize_term
+
 
 class Node:
     pass
@@ -138,7 +140,7 @@ def _parse_word_leaf(tok: str) -> TermLeaf:
         flavor = "item"
         tok = tok[len("$item:"):]
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
-        body = tok[1:-1].casefold()
+        body = normalize_term(tok[1:-1])
         words = body.split()
         if len(words) > 1:
             # multi-word phrase ≈ AND of its tokens (term identity is
@@ -161,7 +163,7 @@ def _parse_word_leaf(tok: str) -> TermLeaf:
         qt = "suffix"
     else:
         qt = "exact"
-    return TermLeaf(core.casefold(), qt, flavor)
+    return TermLeaf(normalize_term(core), qt, flavor)
 
 
 def _parse_special(tok: str) -> Node:

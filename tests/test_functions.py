@@ -70,7 +70,11 @@ class TestGeotags:
 
 class TestTokenize:
     def test_lowercase_and_unicode(self):
-        assert tokenize("Hello WORLD Straße") == ["hello", "world", "strasse"]
+        assert tokenize("Hello WORLD Straße") == ["hello", "world", "straße"]
+        # utf8_lower, not casefold: ß stays ß (term identity is the
+        # Arrow kernel, shared byte-for-byte with the batch paths)
+        assert tokenize("Café au LAIT, naïve") == ["café", "au", "lait", "naïve"]
+        assert tokenize("ПРИВЕТ мир") == ["привет", "мир"]
 
     def test_unique_sorted(self):
         assert unique_terms("b a b c a") == ["a", "b", "c"]
@@ -113,3 +117,71 @@ class TestBpeIshTokens:
         # punctuation is its own token; numbers separate from words
         assert bpe_ish_token_count("a1 b!") == 4
         assert bpe_ish_token_count("x" * 10) == 1
+
+    def test_non_ascii_whitespace_scope(self):
+        """Documented divergence (round-3 ADVICE): the scalar counter's
+        Python ``\\s`` excludes U+00A0 as whitespace, while the
+        vectorized/SQL RE2 path counts it as a punctuation pretoken.
+        The token model is ASCII-whitespace-scoped; this test pins the
+        scalar side of that contract."""
+        from oscar_spatial_index_compare_ray.functions.tokenize import (
+            bpe_ish_token_count,
+        )
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        s = "a b"
+        assert bpe_ish_token_count(s) == 2  # U+00A0 dropped as whitespace
+        # the RE2 pattern the vectorized path uses counts it: 3 pretokens
+        # (RE2 \s is ASCII-only; Python \s is Unicode)
+        pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+        got = pc.count_substring_regex(pa.array([s]), pattern=pat)[0].as_py()
+        assert got == 3
+
+
+class TestTokenModelParity:
+    """The ONE token model (utf8_lower + split on TOKEN_SPLIT_RE) must
+    agree byte-for-byte across scalar / Arrow-batch / DuckDB-oracle
+    paths, including non-ASCII text (round-3 ADVICE medium)."""
+
+    SAMPLES = [
+        "Café au LAIT",
+        "ПРИВЕТ мир",
+        "naïve Straße İstanbul",
+        "foo bar",
+        "a_b-c 42",
+        "日本語 テスト",
+        "étude",  # NFD combining mark splits (documented)
+        "",
+        "   ",
+        "HELLO world hello",
+    ]
+
+    def test_scalar_equals_arrow_batch(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from oscar_spatial_index_compare_ray.functions.tokenize import (
+            TOKEN_SPLIT_RE,
+            tokenize,
+        )
+
+        arr = pa.array(self.SAMPLES, pa.string())
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_SPLIT_RE)
+        batch = [[t for t in row if t] for row in lists.to_pylist()]
+        assert batch == [tokenize(s) for s in self.SAMPLES]
+
+    def test_scalar_equals_duckdb(self):
+        import duckdb
+
+        from oscar_spatial_index_compare_ray.functions.tokenize import tokenize
+
+        con = duckdb.connect()
+        for s in self.SAMPLES:
+            got = con.execute(
+                "SELECT list_filter(regexp_split_to_array(lower(?), "
+                "'[^\\p{L}\\p{N}_]+'), x -> x <> '')",
+                [s],
+            ).fetchone()[0]
+            assert got == tokenize(s), s

@@ -289,7 +289,7 @@ class TestHLL:
         approx = q_approx_distinct_terms(SF).column("approx_distinct_terms")[0].as_py()
         con = duckdb.connect()
         exact = con.execute(
-            f"SELECT count(DISTINCT term) FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) term "
+            f"SELECT count(DISTINCT term) FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+')) term "
             f"FROM read_parquet('{SF}/documents.parquet')) WHERE term <> ''"
         ).fetchone()[0]
         assert abs(approx - exact) / exact < 0.1
