@@ -20,25 +20,45 @@ Algorithm (simple, deterministic readability approximation):
   6. collapse runs of whitespace introduced by markup is NOT done —
      whitespace inside text nodes is preserved verbatim so extraction
      is invertible for generator-produced pages.
+
+VERSION 2 (round 4): the decode moved from step 6 to step 1 so the
+regex passes run in codepoint space with RE2-COMPATIBLE patterns (no
+backreferences, no lookahead, ASCII word boundaries via ``re.ASCII``).
+That makes the scalar spec and the vectorized Arrow/RE2 batch stage
+(stages/extract.py, ``pc.replace_substring_regex`` chain) character-
+identical by construction.  For VALID UTF-8 input the output is
+byte-identical to version 1 — the patterns only anchor on ASCII
+delimiters, which never occur inside UTF-8 multibyte sequences; inputs
+with INVALID UTF-8 may differ from v1 (a bogus byte now becomes U+FFFD
+before tag stripping instead of after), which is why the version bumped.
 """
 
 from __future__ import annotations
 
 import re
 
-EXTRACTOR_VERSION = 1
+EXTRACTOR_VERSION = 2
 
-_SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1\s*>", re.S | re.I)
-_MAIN_RE = re.compile(rb"<main\b[^>]*>(.*?)</main\s*>", re.S | re.I)
-_TAG_RE = re.compile(rb"<[^>]*>")
+# Shared pattern SOURCE strings — compiled by Python `re` here and run
+# verbatim by Arrow/RE2 in stages/extract.py.  Constraints for parity:
+# inline (?is) only (RE2 has no (?a); Python gets ASCII semantics via
+# the re.ASCII compile flag), no backreferences (the v1 `</\1>` is
+# expanded into a per-tag alternation), no lookahead.
+SCRIPT_STYLE_RE = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>"
+MAIN_RE = r"(?is)<main\b[^>]*>(?P<inner>.*?)</main\s*>"
+TAG_RE = r"<[^>]*>"
 
-_ENTITIES = [
-    (b"&lt;", b"<"),
-    (b"&gt;", b">"),
-    (b"&quot;", b'"'),
-    (b"&#39;", b"'"),
-    (b"&amp;", b"&"),  # must be last
+ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # must be last
 ]
+
+_SCRIPT_STYLE = re.compile(SCRIPT_STYLE_RE, re.ASCII)
+_MAIN = re.compile(MAIN_RE, re.ASCII)
+_TAG = re.compile(TAG_RE, re.ASCII)
 
 
 def escape_text(text: str) -> bytes:
@@ -54,11 +74,12 @@ def extract_text(html: bytes) -> str:
     """Pure, deterministic extraction; byte-stable per input."""
     if html is None:
         return ""
-    body = _SCRIPT_RE.sub(b"", html)
-    m = _MAIN_RE.search(body)
+    body = html.decode("utf-8", errors="replace")
+    body = _SCRIPT_STYLE.sub("", body)
+    m = _MAIN.search(body)
     if m:
-        body = m.group(1)
-    body = _TAG_RE.sub(b"", body)
-    for ent, ch in _ENTITIES:
+        body = m.group("inner")
+    body = _TAG.sub("", body)
+    for ent, ch in ENTITIES:
         body = body.replace(ent, ch)
-    return body.decode("utf-8", errors="replace")
+    return body

@@ -442,13 +442,43 @@ def _salted_classify(
         cols["doc_id"] = vals
         return pa.table(cols)
 
-    l2_keys = ["term", "pixel_key"] if l2_pixel_bounded else ["term"]
+    l2_schema = pa.schema(fam_fields + [
+        ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
+        ("n", pa.int64()), ("items", pa.list_(pa.int64())),
+    ])
+    if not l2_pixel_bounded:
+        return _partitioned_apply(l1, ["term"], num_partitions,
+                                  _Finalize(counts_ref), out_schema=l2_schema)
+
+    # Bucketed COMPOSITE level-2 key (VERDICT r3 #8): instead of sorting
+    # the raw (term, pixel) pair — an |index|-cardinality key whose sort
+    # measured ~1.6× the term-partitioned exchange — partition by ONE
+    # int64 `hash(term) * B + bucket(pixel)`.  Key cardinality is
+    # vocab × B (B=64), per-finalize-task memory drops to
+    # ~|postings(term)|/B (every (term,pixel) group still lands whole in
+    # one partition: the bucket is a pure function of the pair), and the
+    # exchange sorts a single precomputed int64.  Parity with the plain
+    # classifier is pytest-asserted (tests/test_groupagg.py).
+    from ..stages.groupagg import _key_hash
+
+    B = np.uint64(64)
+
+    def add_l2b(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__l2b", pa.array([], pa.int64()))
+        th = _key_hash(batch, ["term"])  # uint64, crc per DISTINCT term
+        pb = _smx(
+            batch.column("pixel_key").to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        ) % B
+        return batch.append_column("__l2b", pa.array((th * B + pb).view(np.int64)))
+
+    l1b = l1.map_batches(add_l2b, batch_format="pyarrow", zero_copy_batch=True)
+    fin = _Finalize(counts_ref)
     return _partitioned_apply(
-        l1, l2_keys, num_partitions, _Finalize(counts_ref),
-        out_schema=pa.schema(fam_fields + [
-            ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
-            ("n", pa.int64()), ("items", pa.list_(pa.int64())),
-        ]),
+        l1b, ["__l2b"], num_partitions,
+        lambda b: fin(b.drop_columns(["__l2b"])),
+        out_schema=l2_schema,
     )
 
 

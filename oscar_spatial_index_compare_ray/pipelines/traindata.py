@@ -372,6 +372,28 @@ def _batch_token_stream(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.nda
 _FNV64 = np.uint64(1099511628211)
 
 
+def _list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from a fixed-width ``list<float>`` column —
+    slice-offset-safe and loud on ragged input (round-3 ADVICE: a
+    sliced ListArray's ``.values`` spans the WHOLE child array, and a
+    ragged row would silently misalign every following vector in the
+    matmul).  ``.offsets`` is slice-adjusted, ``.values`` is not, so the
+    valid window is ``values[offs[0]:offs[-1]]``."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = np.diff(offs)
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError(
+            f"ragged embedding lists in batch: widths {np.unique(widths)!r}"
+        )
+    vals = col.values.to_numpy(zero_copy_only=False)[offs[0]: offs[-1]]
+    return vals.reshape(n, d).astype(dtype, copy=False)
+
+
 def _stream_doc_shingles(drep: np.ndarray, th: np.ndarray, n_tok: np.ndarray,
                          n: int, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-doc SORTED-UNIQUE k-token shingle hashes over the whole
@@ -911,9 +933,7 @@ def q_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            col = batch.column("embedding")
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            m = _list_matrix(batch.column("embedding"))
             sims = (m @ self.q) / (np.linalg.norm(m, axis=1) * self.qn)
             # per-batch top-k pre-prune: the final sort sees <= k rows
             # per block, not the whole scored corpus
@@ -986,12 +1006,7 @@ def q_dedup_embedding(sf_dir: str, tau: float = 0.45, buckets: int = 4) -> ray.d
         pk = batch.column("pkey").to_numpy(zero_copy_only=False)
         bk = batch.column("bkt").to_numpy(zero_copy_only=False)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = batch.column("embedding")
-        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
-        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = emb.values.to_numpy(zero_copy_only=False)
-        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        mat = vals.reshape(len(ids), d) if d else np.zeros((len(ids), 0))
+        mat = _list_matrix(batch.column("embedding"))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         parts = []
         for key in np.unique(pk):
@@ -1065,9 +1080,7 @@ def q_ann_lsh(sf_dir: str, k: int = 10, planes: int = 12) -> pa.Table:
                 return pa.table({"vec_id": pa.array([], pa.int64()),
                                  "cosine": pa.array([], pa.float64()),
                                  "n_cand": pa.array([], pa.int64())})
-            col = batch.column("embedding")
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            m = _list_matrix(batch.column("embedding"))
             if self.probe:
                 sig = (m @ self.H.T > 0).astype(np.uint64)
                 codes = (sig << np.arange(self.H.shape[0], dtype=np.uint64)[None, :]).sum(axis=1)
@@ -1521,9 +1534,7 @@ def q_dedup_embedding_lsh(sf_dir: str, tau: float = 0.45, planes: int = 4,
                                  "code": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),
                                  "nvec": pa.array([], pa.binary())})
-            col = batch.column("embedding")
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            m = _list_matrix(batch.column("embedding"))
             norm = m / np.linalg.norm(m, axis=1, keepdims=True)
             blobs = [norm[i].tobytes() for i in range(len(vid))]
             nb = self.H.shape[0]
@@ -1562,7 +1573,17 @@ def q_dedup_embedding_lsh(sf_dir: str, tau: float = 0.45, planes: int = 4,
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
         nv = batch.column("nvec")
         nv = nv.combine_chunks() if isinstance(nv, pa.ChunkedArray) else nv
-        mat = np.frombuffer(b"".join(nv.to_pylist()), np.float64).reshape(len(vid), -1)
+        # zero-copy from the binary column's buffers (no per-row
+        # to_pylist + join), width-checked like _list_matrix
+        noffs = np.frombuffer(nv.buffers()[1], np.int32)[
+            nv.offset: nv.offset + len(nv) + 1
+        ].astype(np.int64)
+        nw = np.diff(noffs)
+        if len(nw) and not (nw == nw[0]).all():
+            raise ValueError(f"ragged packed vectors: widths {np.unique(nw)!r}")
+        mat = np.frombuffer(
+            nv.buffers()[2][noffs[0]: noffs[-1]], np.float64
+        ).reshape(len(vid), -1)
         order = np.lexsort((vid, code, band))
         band, code, vid, mat = band[order], code[order], vid[order], mat[order]
         n = len(vid)
@@ -1800,9 +1821,7 @@ def q_ann_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
     )
     ids0 = head.column("vec_id").to_numpy()
     order0 = np.argsort(ids0)[:256]
-    col = head.column("embedding")
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    sample = col.values.to_numpy(zero_copy_only=False).reshape(len(ids0), -1).astype(np.float64)[order0]
+    sample = _list_matrix(head.column("embedding"))[order0]
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     cent = sample[:: max(1, len(sample) // n_centroids)][:n_centroids].copy()
     for _ in range(iters):  # Lloyd on the sample (cosine ≈ dot on unit)
@@ -1826,9 +1845,7 @@ def q_ann_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
             if not len(vid):
                 return pa.table({"vec_id": pa.array([], pa.int64()),
                                  "cosine": pa.array([], pa.float64())})
-            col = batch.column("embedding")
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            m = col.values.to_numpy(zero_copy_only=False).reshape(len(vid), -1).astype(np.float64)
+            m = _list_matrix(batch.column("embedding"))
             norm = m / np.linalg.norm(m, axis=1, keepdims=True)
             assign = np.argmax(norm @ self.cent.T, axis=1)
             keep = np.isin(assign, list(self.probe))

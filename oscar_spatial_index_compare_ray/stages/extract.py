@@ -17,16 +17,50 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.geotags import GEOTAG_RE
-from ..functions.text_extract import extract_text
+from ..functions.text_extract import (
+    ENTITIES,
+    MAIN_RE,
+    SCRIPT_STYLE_RE,
+    TAG_RE,
+    extract_text,
+)
 
 _SEP = "\x00"
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
-    """html binary column → text column (byte-identical per url)."""
-    texts = [extract_text(h) for h in batch.column("html").to_pylist()]
+    """html binary column → text column (byte-identical per url).
+
+    Whole-batch Arrow/RE2 kernel chain (VERDICT r3 #7 — replaces the
+    per-row extract_text() loop): decode once, then the SAME pattern
+    strings the scalar spec compiles — script/style strip, <main>
+    inner extraction (pc.extract_regex + if_else), tag strip, entity
+    unescape — each ONE C++ pass over the batch.  Character-identical
+    to functions/text_extract.extract_text (differential-fuzzed +
+    golden-tested)."""
+    import pyarrow.compute as pc
+
+    col = batch.column("html")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        s = col.cast(pa.string())  # validates utf-8; the common case
+    except pa.lib.ArrowInvalid:
+        # rare invalid-utf8 rows: per-row decode with errors="replace"
+        # (exactly the scalar spec's step 1)
+        s = pa.array(
+            [None if h is None else h.decode("utf-8", "replace")
+             for h in col.to_pylist()],
+            pa.string(),
+        )
+    s = pc.replace_substring_regex(s, pattern=SCRIPT_STYLE_RE, replacement="")
+    inner = pc.struct_field(pc.extract_regex(s, pattern=MAIN_RE), "inner")
+    s = pc.if_else(pc.is_valid(inner), inner, s)
+    s = pc.replace_substring_regex(s, pattern=TAG_RE, replacement="")
+    for ent, ch in ENTITIES:
+        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    s = pc.fill_null(s, "")  # null html → "" (scalar parity)
     cols = {name: batch.column(name) for name in batch.column_names if name != "html"}
-    cols["text"] = pa.array(texts, pa.string())
+    cols["text"] = s
     return pa.table(cols)
 
 
@@ -67,11 +101,12 @@ def explode_points_batch(batch: pa.Table, id_col: str = "doc_id",
         )
     pos_a = np.asarray(pos, dtype=np.int64)
     row = np.searchsorted(starts, pos_a, side="right") - 1
-    # per-row running point index (rows are in scan order → monotone)
-    point_idx = np.zeros(len(row), dtype=np.int64)
-    same = np.nonzero(row[1:] == row[:-1])[0]
-    for i in same:  # tiny loop over duplicate-run boundaries only
-        point_idx[i + 1] = point_idx[i] + 1
+    # per-row running point index (rows are in scan order → monotone):
+    # position within the contiguous run of its row, via segment starts
+    new_run = np.r_[True, row[1:] != row[:-1]]
+    run_starts = np.nonzero(new_run)[0]
+    seg_id = np.cumsum(new_run) - 1
+    point_idx = np.arange(len(row), dtype=np.int64) - run_starts[seg_id]
     return pa.table(
         {
             id_col: pa.array(ids[row]),

@@ -106,10 +106,14 @@ def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: in
     in one downstream bundle, so consecutive calls in a task see them
     in order) and RAISES instead of corrupting the output; rerun the
     stage with a larger ``DataContext.target_max_block_size`` or fall
-    back to ``groupby(keys).map_groups`` if it ever fires."""
+    back to ``groupby(keys).map_groups`` if it ever fires.  The cell is
+    keyed by Ray task id (fresh per task execution, so re-executed
+    partitions can't trip on stale state); splits whose halves land in
+    DIFFERENT tasks are structurally undetectable here — the guard is
+    best-effort within a task."""
     ds = _with_khash(ds, keys)
 
-    def per_block(batch: pa.Table, _last=[None]) -> pa.Table:
+    def per_block(batch: pa.Table, _state={"tid": None, "last": None}) -> pa.Table:
         if batch.num_columns == 0:
             # empty range partition from duplicate sort-sample
             # boundaries (hot keys) — emit a TYPED empty block
@@ -117,9 +121,21 @@ def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: in
                 return out_schema.empty_table()
             return batch
         if batch.num_rows:
+            # the guard cell lives as long as the deserialized function
+            # object, which Ray may reuse across task executions in one
+            # worker (round-3 ADVICE: a re-executed partition could see
+            # a stale last-khash and raise spuriously) — key it by task
+            # id so every task execution starts clean.  Splits whose
+            # halves land in DIFFERENT tasks are not detectable here;
+            # the guarantee is best-effort within a task (see docstring).
+            import ray as _ray
+
+            tid = _ray.get_runtime_context().get_task_id()
+            if tid != _state["tid"]:
+                _state["tid"], _state["last"] = tid, None
             kh = batch.column(KHASH_COL)
             first = kh[0].as_py()
-            if _last[0] is not None and _last[0] == first:
+            if _state["last"] is not None and _state["last"] == first:
                 raise RuntimeError(
                     "key-complete exchange violated: a sort partition was "
                     "split mid-key (same __khash on both sides of a block "
@@ -127,7 +143,7 @@ def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: in
                     "groups — raise DataContext.target_max_block_size or "
                     "use groupby().map_groups for this stage"
                 )
-            _last[0] = kh[len(kh) - 1].as_py()
+            _state["last"] = kh[len(kh) - 1].as_py()
         return block_fn(batch.drop_columns([KHASH_COL]))
 
     return ds.sort(KHASH_COL).map_batches(

@@ -43,6 +43,58 @@ class TestExtractText:
             assert extract_text(html) == text
 
 
+class TestExtractTextBatchParity:
+    """The vectorized Arrow/RE2 batch extractor must be character-
+    identical to the scalar spec on every input — including invalid
+    UTF-8 (fallback decode path) and a valid-only batch (cast path)."""
+
+    FRAGS = [
+        "<script>x='</main>'</script>", "<style a=b>s</style>", "<main>",
+        "</main>", "<main class='x'>", "<p>", "&amp;", "&lt;tag&gt;",
+        "plain ", "café Привет ", "<MaIn>Mid</mAiN>", "<script>unclosed ",
+        "< notatag", ">", "<", "日本語", "<script >sp</script >",
+        "nested <main>in</main> two <main>b</main>", "<scripty>odd</scripty>",
+    ]
+
+    def _cases(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        return [
+            "".join(rng.choice(self.FRAGS) for _ in range(rng.randint(0, 10))).encode()
+            for _ in range(150)
+        ]
+
+    def test_valid_utf8_cast_path(self):
+        import pyarrow as pa
+
+        from oscar_spatial_index_compare_ray.stages.extract import (
+            extract_text_batch,
+        )
+
+        cases = self._cases(7)
+        got = extract_text_batch(
+            pa.table({"html": pa.array(cases, pa.binary())})
+        ).column("text").to_pylist()
+        assert got == [extract_text(h) for h in cases]
+
+    def test_invalid_utf8_fallback_path(self):
+        import pyarrow as pa
+
+        from oscar_spatial_index_compare_ray.stages.extract import (
+            extract_text_batch,
+        )
+
+        cases = self._cases(11) + [
+            b"\xff<p>a</p>\xfe", b"caf\xc3<main>x</main>\xa9",
+            b"\xc3\xa9 ok <b>t</b>", b"", None,
+        ]
+        got = extract_text_batch(
+            pa.table({"html": pa.array(cases, pa.binary())})
+        ).column("text").to_pylist()
+        assert got == [extract_text(h) for h in cases]
+
+
 class TestGeotags:
     def test_both_formats_in_order(self):
         text = "a geo:48.7758,9.1829 b (lat -1.5000, lon 10.0000) c"

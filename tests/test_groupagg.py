@@ -199,3 +199,26 @@ def test_hash_exchange_text_index_parity(ray_session, corpus):
     hashed = canon(build_text_index(corpus, a, "simple_cell",
                                     hash_exchange=True, salted=False))
     assert plain == hashed
+
+
+class TestSchemaDriftFilter:
+    """The package log filter must drop ONLY the empty-new-schema
+    cosmetic warning, never real (typed) schema drift."""
+
+    def test_predicate(self):
+        import logging
+
+        from oscar_spatial_index_compare_ray import _empty_schema_drift_filter
+
+        def rec(msg):
+            return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+        noise = ("Operator produced a RefBundle with a different schema "
+                 "than the previous one. Previous schema: a: int64, "
+                 "new schema: . This may lead to unexpected behavior.")
+        real = ("Operator produced a RefBundle with a different schema "
+                "than the previous one. Previous schema: a: int64, "
+                "new schema: b: int64. This may lead to unexpected behavior.")
+        assert _empty_schema_drift_filter(rec(noise)) is False
+        assert _empty_schema_drift_filter(rec(real)) is True
+        assert _empty_schema_drift_filter(rec("unrelated warning")) is True
