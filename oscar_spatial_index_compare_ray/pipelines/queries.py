@@ -25,7 +25,23 @@ def assignments_for(sf_dir: str, grids=("h3", "s2", "htm", "simple"), level: int
     key = (sf_dir, tuple(grids), level, multiplier)
     if key not in _ASSIGN_CACHE:
         corpus = ensure_corpus(sf_dir, multiplier)
-        _ASSIGN_CACHE[key] = build_assignments(corpus, grids=grids, level=level).materialize()
+        mat = build_assignments(corpus, grids=grids, level=level).materialize()
+        # Coalesce tiny blocks: every query over the cache re-launches a
+        # Dataset execution whose fixed cost is ~linear in block count
+        # (~25 ms/task measured on this host), so a 64-block cache of
+        # 12k rows made every cached kNN pay ~1.5 s of pure scheduling
+        # (the round-3 knn_query_cached 0.4 → 1.38 s 'regression' was
+        # exactly this).  Target ≥64k rows per block, capped at cluster
+        # CPUs — at real scale the row target dominates and the cache
+        # keeps full parallelism.
+        import ray as _ray
+
+        rows = mat.count()
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        target = int(max(2, min(cpus, rows // 65536 + 1)))
+        if mat.num_blocks() > target:
+            mat = mat.repartition(target).materialize()
+        _ASSIGN_CACHE[key] = mat
     return _ASSIGN_CACHE[key]
 
 
