@@ -50,6 +50,40 @@ INDEX_FORMAT_VERSION = 3
 # time (a per-term lookup reads ~one row group, not a 1M-row file)
 ROW_GROUP_SIZE = 64 * 1024
 
+# Posting-list compression (the reference's RLE-delta ItemIndex format,
+# T_RLE_DE: apps/main.cpp:153, writer src/OscarSearchSgIndex.cpp:561-577):
+# posting lists are SORTED int64s, so parquet DELTA_BINARY_PACKED is the
+# same delta-then-bitpack idea applied at the column-chunk level
+# (measured: postings −40%, trixel_data −35% on the sf0.1 index, every
+# column at-or-below its dictionary size; the read path is unchanged —
+# parquet decodes transparently).  column_encoding requires
+# use_dictionary=False for the file.
+_DELTA_INT = "DELTA_BINARY_PACKED"
+_ENCODINGS: dict[str, dict] = {
+    # text_index deliberately keeps parquet's default DICTIONARY
+    # encoding: the file is TERM-sorted, so its pixel/family columns are
+    # high-entropy within a row group but low-cardinality overall —
+    # dictionary beats delta there (measured: pixel 3.9 MB dict vs
+    # 5.6 MB delta on the 1.07M-row sf0.1 index; term repeats across
+    # rows, dict 77 KB).  Delta-bitpack only wins on the KEY-sorted
+    # files below.
+    "text_index": {},
+    "postings": {
+        "use_dictionary": False,
+        "column_encoding": {
+            "pixel": _DELTA_INT, "items.list.element": _DELTA_INT,
+            "index_id": _DELTA_INT,
+        },
+    },
+    "trixel_data": {
+        "use_dictionary": False,
+        "column_encoding": {
+            "cell_id": _DELTA_INT, "items.list.element": _DELTA_INT,
+            "n_items": _DELTA_INT,
+        },
+    },
+}
+
 
 def save_index(
     sf_dir: str,
@@ -76,17 +110,20 @@ def save_index(
     text_index = build_text_index(corpus, assignments, pixel_col, families=True)
     # deterministic order: sort by term before write → row-group pruning
     text_index.sort("term").write_parquet(
-        os.path.join(out_dir, "text_index"), row_group_size=ROW_GROUP_SIZE
+        os.path.join(out_dir, "text_index"), row_group_size=ROW_GROUP_SIZE,
+        **_ENCODINGS["text_index"],
     )
 
     dp = doc_pixels(assignments, pixel_col)
     postings = build_pixel_postings(dp, pixel_col)
     postings.sort("pixel").write_parquet(
-        os.path.join(out_dir, "postings"), row_group_size=ROW_GROUP_SIZE
+        os.path.join(out_dir, "postings"), row_group_size=ROW_GROUP_SIZE,
+        **_ENCODINGS["postings"],
     )
 
     build_trixel_data(assignments, pixel_col).sort("cell_id").write_parquet(
-        os.path.join(out_dir, "trixel_data"), row_group_size=ROW_GROUP_SIZE
+        os.path.join(out_dir, "trixel_data"), row_group_size=ROW_GROUP_SIZE,
+        **_ENCODINGS["trixel_data"],
     )
     # points sorted by LAT: geometry/kNN leaves prune by latitude band
     assignments.select_columns(

@@ -95,7 +95,16 @@ class PolygonIndex:
         """One id per point: the smallest matching polygon id, else
         SENTINEL_CELL.  For a disjoint partition (cells) 'smallest' is
         just 'the' id; the tie-rule makes overlapping inputs
-        deterministic too."""
+        deterministic too.
+
+        Fast-path note (reference parity): the reference skips the
+        arrangement lookup when an item's payload claims exactly one
+        cell (src/OscarSgIndex.cpp:120-129).  Web pages carry no
+        pre-claimed cells, so the engine's equivalent saving is the
+        two-stage candidate prune below — bin-grid candidate gathering
+        plus a per-candidate bbox containment test — which skips the
+        ray cast for every (point, polygon) pair that is trivially
+        outside; only bbox-surviving pairs pay edge arithmetic."""
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
         out = np.full(len(lat), SENTINEL_CELL, dtype=np.int64)
