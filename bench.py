@@ -127,10 +127,14 @@ def run_bench() -> dict:
     q.assignments_for(SF_DIR)  # includes its own build; timed as index+query path
     q.q_knn(SF_DIR, k=25)
     timings["knn_with_build"] = time.perf_counter() - t0
-    # like-for-like query latency (assignments already built/cached)
-    t0 = time.perf_counter()
-    q.q_knn(SF_DIR, k=25)
-    timings["knn_query_cached"] = time.perf_counter() - t0
+    # like-for-like query latency (assignments already built/cached);
+    # best of 2 — cheap now that the cache is block-coalesced
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q.q_knn(SF_DIR, k=25)
+        best = min(best, time.perf_counter() - t0)
+    timings["knn_query_cached"] = best
 
     # persisted index build (families + HCQR artifacts) + query serving
     # FROM FILES via row-group pruning — the sf0.1-built-index demo of
