@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": td.q_dedup_embedding_lsh,
         "approx_distinct_terms": td.q_approx_distinct_terms,
         "corpus_filter": td.q_corpus_filter,
+        "pii_scrub": td.q_pii_scrub,
+        "contamination": td.q_contamination,
+        "sample_stratified": td.q_sample_stratified,
         "tfidf_top_terms": td.q_tfidf_top_terms,
         "ann_ivf": td.q_ann_ivf,
         "events_hopping": td.q_events_hopping,
@@ -197,7 +200,38 @@ def _traindata_oracles() -> dict[str, str]:
         f"ELSE list_distinct(list_transform(generate_series(1, len({all_toks}) - 2), "
         f"i -> {all_toks}[i] || chr(1) || {all_toks}[i+1] || chr(1) || {all_toks}[i+2])) END"
     )
+    url_re = "https?://[^\\s]+"
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?\\d[\\d\\- ]{7,}\\d"
     return {
+        # same pattern strings and replacement ORDER as
+        # traindata.PII_PATTERNS (URL -> EMAIL -> PHONE); counts taken
+        # per pattern on the ORIGINAL text, like the engine
+        "pii_scrub": (
+            f"SELECT doc_id, "
+            f"regexp_replace(regexp_replace(regexp_replace(text, "
+            f"'{url_re}', '<URL>', 'g'), '{email_re}', '<EMAIL>', 'g'), "
+            f"'{phone_re}', '<PHONE>', 'g') AS text_clean, "
+            f"len(regexp_extract_all(text, '{url_re}')) + "
+            f"len(regexp_extract_all(text, '{email_re}')) + "
+            f"len(regexp_extract_all(text, '{phone_re}')) AS n_redactions "
+            f"FROM documents"
+        ),
+        # string-shingle mirror of the hash-shingle engine path (hash
+        # equality <=> token-sequence equality, the dedup_minhash
+        # argument); eval set = doc_id < 50
+        "contamination": (
+            f"WITH sh AS (SELECT doc_id, unnest({shingles}) AS s FROM documents), "
+            f"ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50 AND s <> '') "
+            f"SELECT d.doc_id, count(*) AS n_shared "
+            f"FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= 50) d "
+            f"JOIN ev USING (s) GROUP BY d.doc_id"
+        ),
+        # identical md5-first-byte predicate (portable across engine/SQL)
+        "sample_stratified": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < 51"
+        ),
         "dedup_minhash": (
             f"WITH s AS (SELECT doc_id, {shingles} AS sh FROM documents) "
             f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "

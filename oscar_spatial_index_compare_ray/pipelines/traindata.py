@@ -1655,6 +1655,133 @@ def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":
     return pa.table({"approx_distinct_terms": pa.array([int(round(merged.count()))], pa.int64())})
 
 
+# PII scrub patterns — RE2-safe, shared VERBATIM with the DuckDB
+# oracle (the tokenize/TOKEN_SPLIT_RE discipline).  Replacement order
+# matters (URLs can embed email-shaped substrings) and is part of the
+# operator's definition: URL → EMAIL → PHONE, counts taken per pattern
+# on the ORIGINAL text.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over the corpus — the standard pre-training scrub
+    pass (emails / URLs / phone-number shapes → typed placeholder
+    tokens).  One ``pc.count_substring_regex`` + one
+    ``pc.replace_substring_regex`` C++ pass per pattern per batch; the
+    synthetic corpus contains no PII (the oracle checks the identity
+    path end-to-end at full width), real redaction behavior is pinned
+    by the unit test with planted PII (tests/test_traindata.py)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("text_clean", pa.string()),
+                            ("n_redactions", pa.int64())])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        txt = batch.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        n = None
+        for _, pat, _repl in PII_PATTERNS:
+            c = pc.count_substring_regex(txt, pattern=pat)
+            n = c if n is None else pc.add(n, c)
+        out = txt
+        for _, pat, repl in PII_PATTERNS:
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_clean": out,
+                "n_redactions": n.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_contamination(sf_dir: str, eval_docs: int = 50, k: int = 3) -> ray.data.Dataset:
+    """Benchmark-contamination check — the LLM decontamination pass:
+    which training documents share >=1 k-token shingle with the eval
+    set (here: the docs with doc_id < ``eval_docs``)?
+
+    Scale shape: the eval side is SMALL by construction (benchmarks) —
+    its distinct shingle-hash set is built once driver-side from a
+    predicate-pushdown read and broadcast via ``ray.put``; the corpus
+    side streams through ONE map_batches (shared tokenize/shingle
+    kernels + a searchsorted membership test) — no join, no shuffle.
+    Output: (doc_id, n_shared) for contaminated docs, n_shared = count
+    of the doc's DISTINCT shingles that appear anywhere in the eval
+    set.  Full SQL oracle via the string-shingle mirror (hash equality
+    ⇔ token-sequence equality, same argument as the dedup_minhash
+    oracle)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filters=[("doc_id", "<", eval_docs)],
+    )
+    drep, th, n_tok, n = _batch_token_stream(ev)
+    _, sv, _ = _stream_doc_shingles(drep, th, n_tok, n, k)
+    eval_set = np.unique(sv)
+    ev_ref = ray.put(eval_set)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())])
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ev_arr = ray.get(ev_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        drep, th, n_tok, n = _batch_token_stream(batch)
+        sd, sv, _ = _stream_doc_shingles(drep, th, n_tok, n, k)
+        pos = np.searchsorted(ev_arr, sv)
+        hit = (pos < len(ev_arr)) & (ev_arr[np.clip(pos, 0, max(len(ev_arr) - 1, 0))] == sv) \
+            if len(ev_arr) else np.zeros(len(sv), bool)
+        n_shared = np.bincount(sd[hit], minlength=n)
+        keep = (n_shared > 0) & (ids >= eval_docs)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_shared": pa.array(n_shared[keep], pa.int64()),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sample_stratified(sf_dir: str, thresh_byte: int = 51) -> ray.data.Dataset:
+    """Deterministic ~20% corpus sample (md5(doc_id) first byte <
+    ``thresh_byte``/256): the reproducible hash-sampling pass every
+    training-data pipeline needs — parallelism- and order-independent
+    (a pure per-row predicate, no RNG state), uniform WITHIN each
+    ``source`` stratum by hash uniformity.  md5 is the portable sampler
+    (the SQL oracle computes the identical byte); the stream stays a
+    plain Arrow filter."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def samp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (hashlib.md5(str(int(i)).encode()).digest()[0] for i in ids),
+            np.int64, count=len(ids),
+        ) < thresh_byte
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_corpus_filter(sf_dir: str, min_tokens: int = 30, max_repetition: float = 0.7,
                     min_stopword: float = 0.01) -> ray.data.Dataset:
     """Training-corpus quality filter: keep documents passing the

@@ -527,3 +527,89 @@ class TestBatchStreamKernels:
             for i, d in enumerate(ids):
                 expect = got[(int(d), b)]
                 assert int(h[i].view(np.int64)) == expect, (d, b)
+
+
+class TestPiiScrub:
+    def test_planted_pii_redacted(self, ray_session):
+        """The same kernel chain the pipeline uses must redact planted
+        PII (the synthetic corpus has none — the oracle only checks the
+        identity path)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            PII_PATTERNS,
+        )
+
+        cases = [
+            ("mail me at bob.smith+x@example.co.uk today", "mail me at <EMAIL> today", 1),
+            ("see https://a.example.com/p?q=1 and http://b.io", "see <URL> and <URL>", 2),
+            ("call +1 555-123-4567 now", "call <PHONE> now", 1),
+            ("ftp://no.scheme and plain text", "ftp://no.scheme and plain text", 0),
+            # a URL that embeds an email-shaped substring: URL wins
+            # (replacement order is part of the operator definition)
+            ("go https://x.io/a@b.cd end", "go <URL> end", 2),
+        ]
+        txt = pa.array([c[0] for c in cases], pa.string())
+        n = None
+        for _, pat, _r in PII_PATTERNS:
+            c = pc.count_substring_regex(txt, pattern=pat)
+            n = c if n is None else pc.add(n, c)
+        out = txt
+        for _, pat, repl in PII_PATTERNS:
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+        assert out.to_pylist() == [c[1] for c in cases]
+        assert n.to_pylist() == [c[2] for c in cases]
+
+    def test_corpus_identity_and_counts(self, ray_session):
+        from oscar_spatial_index_compare_ray.pipelines.traindata import q_pii_scrub
+
+        rows = q_pii_scrub(SF).take(5)
+        assert all(r["n_redactions"] == 0 for r in rows)
+
+
+class TestContamination:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.functions.minhash import (
+            shingle_hashes,
+        )
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_contamination,
+        )
+
+        got = {r["doc_id"]: r["n_shared"] for r in q_contamination(SF).take_all()}
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        ev = np.unique(np.concatenate(
+            [shingle_hashes(tx) for i, tx in zip(ids, texts) if i < 50]
+            or [np.empty(0, np.uint64)]
+        ))
+        expect = {}
+        for i, tx in zip(ids, texts):
+            if i < 50:
+                continue
+            n = int(np.isin(shingle_hashes(tx), ev).sum())
+            if n > 0:
+                expect[i] = n
+        assert got == expect
+        assert len(got) > 0  # the word-salad corpus must overlap
+
+
+class TestSampleStratified:
+    def test_deterministic_and_near_rate(self, ray_session):
+        import hashlib
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_sample_stratified,
+        )
+
+        a = sorted(r["doc_id"] for r in q_sample_stratified(SF).take_all())
+        b = sorted(r["doc_id"] for r in q_sample_stratified(SF).take_all())
+        assert a == b  # parallelism/order independent
+        for d in a[:20]:
+            assert hashlib.md5(str(d).encode()).digest()[0] < 51
+        # ~20% +- generous binomial slack on 500 docs
+        assert 0.10 < len(a) / 500 < 0.32
