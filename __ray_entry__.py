@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": td.q_pii_scrub,
         "contamination": td.q_contamination,
         "sample_stratified": td.q_sample_stratified,
+        "events_asof": td.q_events_asof,
         "tfidf_top_terms": td.q_tfidf_top_terms,
         "ann_ivf": td.q_ann_ivf,
         "events_hopping": td.q_events_hopping,
@@ -226,6 +227,21 @@ def _traindata_oracles() -> dict[str, str]:
             f"SELECT d.doc_id, count(*) AS n_shared "
             f"FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= 50) d "
             f"JOIN ev USING (s) GROUP BY d.doc_id"
+        ),
+        # purchase <- latest prior click per user; "prior" = earlier
+        # (ts, event_id) sort position, exactly the engine's lexsort
+        "events_asof": (
+            "WITH u AS (SELECT event_id, ts, user_id, event_type, "
+            "  CASE WHEN event_type='click' THEN event_id END AS rid, "
+            "  CASE WHEN event_type='click' THEN ts END AS rts "
+            "  FROM events WHERE event_type IN ('click','purchase')), "
+            "o AS (SELECT *, last_value(rid IGNORE NULLS) OVER w AS mid, "
+            "  last_value(rts IGNORE NULLS) OVER w AS mts FROM u "
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, mid AS matched_id, "
+            "round(date_diff('microsecond', mts, ts) / 1e6, 6) AS lag_sec "
+            "FROM o WHERE event_type='purchase' AND mid IS NOT NULL"
         ),
         # identical md5-first-byte predicate (portable across engine/SQL)
         "sample_stratified": (

@@ -1655,6 +1655,77 @@ def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":
     return pa.table({"approx_distinct_terms": pa.array([int(round(merged.count()))], pa.int64())})
 
 
+def q_events_asof(sf_dir: str, left_type: str = "purchase",
+                  right_type: str = "click") -> ray.data.Dataset:
+    """AS-OF join over the event stream — the classic operator Ray Data
+    lacks natively (SURVEY custom-operator note): each ``left_type``
+    event matches the LATEST ``right_type`` event of the same user at
+    an earlier (ts, event_id) position; unmatched lefts drop (inner
+    as-of).  Attribution-style: purchase ← most recent prior click.
+
+    Composition (pattern (a) from the brief: map_batches + key-complete
+    exchange, no bespoke actors): per-batch type/column prune BEFORE
+    the shuffle (only the two event types travel), ONE user-keyed
+    exchange, then a fully vectorized per-partition pass — one lexsort
+    by (user, ts, event_id), candidate forward-fill via
+    ``np.maximum.accumulate`` over right-row positions, and a
+    segment-start validity check so a previous user's candidate can
+    never leak across the boundary.  Output: (event_id, matched_id,
+    lag_sec).  Full SQL oracle via ``last_value(... IGNORE NULLS) OVER
+    (PARTITION BY user ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import _partitioned_apply
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("event_type"),
+                     value_set=pa.array([left_type, right_type]))
+        return batch.filter(m)
+
+    slim = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    out_schema = pa.schema([("event_id", pa.int64()), ("matched_id", pa.int64()),
+                            ("lag_sec", pa.float64())])
+
+    def asof(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        is_right = pc.equal(batch.column("event_type"), right_type).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((e, t, u))
+        u, e, t, is_right = u[order], e[order], t[order], is_right[order]
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        new_seg = np.r_[True, u[1:] != u[:-1]]
+        seg_start = np.nonzero(new_seg)[0][np.cumsum(new_seg) - 1]
+        run = np.maximum.accumulate(np.where(is_right, pos, -1))
+        # shift by one row: a row must not match itself (window ends at
+        # 1 PRECEDING) — a left row is never right-typed here, but a
+        # right row's own position must not be visible to an equal-sort
+        # neighbor, so take the running max as of the PREVIOUS row
+        prev_run = np.r_[-1, run[:-1]]
+        matched = (~is_right) & (prev_run >= seg_start)
+        midx = prev_run[matched]
+        return pa.table(
+            {
+                "event_id": pa.array(e[matched], pa.int64()),
+                "matched_id": pa.array(e[midx], pa.int64()),
+                "lag_sec": pa.array(
+                    np.round((t[matched] - t[midx]) / 1e6, 6), pa.float64()
+                ),
+            }
+        )
+
+    return _partitioned_apply(slim, ["user_id"], 0, asof, out_schema=out_schema)
+
+
 # PII scrub patterns — RE2-safe, shared VERBATIM with the DuckDB
 # oracle (the tokenize/TOKEN_SPLIT_RE discipline).  Replacement order
 # matters (URLs can embed email-shaped substrings) and is part of the

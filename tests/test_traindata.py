@@ -613,3 +613,32 @@ class TestSampleStratified:
             assert hashlib.md5(str(d).encode()).digest()[0] < 51
         # ~20% +- generous binomial slack on 500 docs
         assert 0.10 < len(a) / 500 < 0.32
+
+
+class TestEventsAsof:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_events_asof,
+        )
+
+        got = {r["event_id"]: (r["matched_id"], r["lag_sec"])
+               for r in q_events_asof(SF).take_all()}
+        t = pq.read_table(f"{SF}/events.parquet",
+                          columns=["event_id", "ts", "user_id", "event_type"])
+        rows = sorted(
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in t.to_pylist()
+            if r["event_type"] in ("purchase", "click")
+        )
+        expect = {}
+        last_click: dict[int, tuple] = {}
+        for u, ts, eid, ty in rows:
+            if ty == "click":
+                last_click[u] = (eid, ts)
+            elif u in last_click:
+                mid, mts = last_click[u]
+                expect[eid] = (mid, round((ts - mts).total_seconds(), 6))
+        assert got == expect
+        assert len(got) > 50
