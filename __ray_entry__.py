@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": td.q_contamination,
         "sample_stratified": td.q_sample_stratified,
         "events_asof": td.q_events_asof,
+        "events_range_join": td.q_events_range_join,
         "tfidf_top_terms": td.q_tfidf_top_terms,
         "ann_ivf": td.q_ann_ivf,
         "events_hopping": td.q_events_hopping,
@@ -227,6 +228,25 @@ def _traindata_oracles() -> dict[str, str]:
             f"SELECT d.doc_id, count(*) AS n_shared "
             f"FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= 50) d "
             f"JOIN ev USING (s) GROUP BY d.doc_id"
+        ),
+        # errors joined into the containing user session interval;
+        # sessions from NON-error events, gap > 24 h splits (the
+        # q_sessions rule at a gap that yields multi-event sessions on
+        # this stream); intervals are disjoint per user
+        "events_range_join": (
+            "WITH ne AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE event_type <> 'error'), "
+            "o AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL "
+            "  OR ts - lag(ts) OVER w > INTERVAL 24 HOUR THEN 1 ELSE 0 END AS brk "
+            "  FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sidx FROM o), "
+            "iv AS (SELECT user_id, sidx, min(ts) AS a, max(ts) AS b "
+            "  FROM s GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, CAST(iv.sidx AS BIGINT) AS session_idx, "
+            "epoch_us(iv.a) AS session_start "
+            "FROM events e JOIN iv ON e.user_id = iv.user_id "
+            "AND e.ts BETWEEN iv.a AND iv.b WHERE e.event_type = 'error'"
         ),
         # purchase <- latest prior click per user; "prior" = earlier
         # (ts, event_id) sort position, exactly the engine's lexsort

@@ -1655,6 +1655,95 @@ def q_approx_distinct_terms(sf_dir: str, p: int = 12) -> "pa.Table":
     return pa.table({"approx_distinct_terms": pa.array([int(round(merged.count()))], pa.int64())})
 
 
+def q_events_range_join(sf_dir: str, gap_s: int = 86400,
+                        probe_type: str = "error") -> ray.data.Dataset:
+    """RANGE (interval) join — the second custom operator the brief
+    names: assign each ``probe_type`` event to the user SESSION
+    interval containing it, sessions built from the user's NON-probe
+    events with the q_sessions gap rule (> ``gap_s`` splits; default
+    24 h here — the synthetic event stream's median inter-event gap is
+    ~9 h, so the 30-min sessionization gap would make every session a
+    single point and the join trivially empty).
+
+    Composition: ONE user-keyed key-complete exchange carrying both
+    sides (probe rows travel WITH the build rows — no second shuffle,
+    no broadcast), then a fully vectorized per-partition pass: sessions
+    from the non-probe subsequence (segment arithmetic), probes placed
+    by forward-fill to the latest preceding non-probe row; containment
+    holds iff the NEXT non-probe row of the user is in the same session
+    (the session's end is its last event) or the probe lands exactly on
+    the session end.  Intervals are disjoint per user by construction
+    (consecutive sessions are > gap apart), so a probe matches at most
+    one session.  Output: (event_id, user_id, session_idx,
+    session_start int64 epoch-µs).  Full SQL oracle via lag/sum windows
+    + BETWEEN join."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import _partitioned_apply
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("session_idx", pa.int64()), ("session_start", pa.int64()),
+    ])
+
+    def rjoin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        is_probe = pc.equal(batch.column("event_type"), probe_type).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((e, t, u))
+        u, e, t, is_probe = u[order], e[order], t[order], is_probe[order]
+        n = len(u)
+        ne = ~is_probe
+        if not ne.any() or not is_probe.any():
+            return out_schema.empty_table()
+        pos_ne = np.nonzero(ne)[0]
+        u_ne, t_ne = u[pos_ne], t[pos_ne]
+        new_u = np.r_[True, u_ne[1:] != u_ne[:-1]]
+        gap_brk = np.r_[False, (t_ne[1:] - t_ne[:-1]) > gap_s * 1_000_000]
+        brk = new_u | gap_brk
+        sid = np.cumsum(brk) - 1  # global session id per non-probe row
+        # per-user session ordinal: sid minus the user's first sid + 1
+        first_sid_of_user = sid[np.nonzero(new_u)[0]]
+        user_seg = np.cumsum(new_u) - 1
+        ordinal = sid - first_sid_of_user[user_seg] + 1
+        sess_start = t_ne[np.nonzero(brk)[0]]  # first ts of each session
+        # probes → latest preceding non-probe row (forward fill)
+        run = np.maximum.accumulate(np.where(ne, np.arange(n), -1))
+        # ... and earliest following non-probe row (backward fill)
+        nxt = np.minimum.accumulate(np.where(ne, np.arange(n), n)[::-1])[::-1]
+        p = np.nonzero(is_probe)[0]
+        prev = run[p]
+        nxt_p = nxt[p]
+        has_prev = (prev >= 0) & (u[np.maximum(prev, 0)] == u[p])
+        # rank of a full-array position within the non-probe subsequence
+        rank_prev = np.searchsorted(pos_ne, np.maximum(prev, 0))
+        same_sess_next = (nxt_p < n)
+        nxt_cl = np.minimum(nxt_p, n - 1)
+        rank_next = np.searchsorted(pos_ne, nxt_cl)
+        same_sess_next &= (u[nxt_cl] == u[p]) & has_prev
+        same_sess_next &= sid[np.minimum(rank_next, len(sid) - 1)] == sid[rank_prev]
+        on_end = has_prev & (t[p] == t[np.maximum(prev, 0)])
+        hit = has_prev & (same_sess_next | on_end)
+        rp = rank_prev[hit]
+        return pa.table(
+            {
+                "event_id": pa.array(e[p][hit], pa.int64()),
+                "user_id": pa.array(u[p][hit], pa.int64()),
+                "session_idx": pa.array(ordinal[rp], pa.int64()),
+                "session_start": pa.array(sess_start[sid[rp]], pa.int64()),
+            }
+        )
+
+    return _partitioned_apply(ds, ["user_id"], 0, rjoin, out_schema=out_schema)
+
+
 def q_events_asof(sf_dir: str, left_type: str = "purchase",
                   right_type: str = "click") -> ray.data.Dataset:
     """AS-OF join over the event stream — the classic operator Ray Data

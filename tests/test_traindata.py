@@ -642,3 +642,44 @@ class TestEventsAsof:
                 expect[eid] = (mid, round((ts - mts).total_seconds(), 6))
         assert got == expect
         assert len(got) > 50
+
+
+class TestEventsRangeJoin:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_events_range_join,
+        )
+
+        got = {r["event_id"]: (r["session_idx"], r["session_start"])
+               for r in q_events_range_join(SF).take_all()}
+        t = pq.read_table(f"{SF}/events.parquet",
+                          columns=["event_id", "ts", "user_id", "event_type"])
+        rows = t.to_pylist()
+        # sessions per user from non-error events, gap > 24h
+        byu: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            if r["event_type"] != "error":
+                byu.setdefault(r["user_id"], []).append(r["ts"])
+        sess: dict[int, list] = {}
+        for uu, tss in byu.items():
+            ivs = []
+            for ts in tss:
+                if ivs and (ts - ivs[-1][1]).total_seconds() <= 86400:
+                    ivs[-1][1] = ts
+                else:
+                    ivs.append([ts, ts])
+            sess[uu] = ivs
+        expect = {}
+        for r in rows:
+            if r["event_type"] != "error":
+                continue
+            for i, (a, b) in enumerate(sess.get(r["user_id"], []), start=1):
+                if a <= r["ts"] <= b:
+                    expect[r["event_id"]] = (
+                        i, int(a.timestamp() * 1_000_000)
+                    )
+                    break
+        assert got == expect
+        assert len(got) > 20
