@@ -1727,17 +1727,27 @@ def q_events_range_join(sf_dir: str, gap_s: int = 86400,
         same_sess_next = (nxt_p < n)
         nxt_cl = np.minimum(nxt_p, n - 1)
         rank_next = np.searchsorted(pos_ne, nxt_cl)
-        same_sess_next &= (u[nxt_cl] == u[p]) & has_prev
-        same_sess_next &= sid[np.minimum(rank_next, len(sid) - 1)] == sid[rank_prev]
+        has_next = same_sess_next & (u[nxt_cl] == u[p])
+        rank_next = np.minimum(rank_next, len(sid) - 1)
+        same_sess_next = has_next & has_prev & (sid[rank_next] == sid[rank_prev])
         on_end = has_prev & (t[p] == t[np.maximum(prev, 0)])
-        hit = has_prev & (same_sess_next | on_end)
-        rp = rank_prev[hit]
+        # a probe whose ts EQUALS the next non-probe event's ts but
+        # sorts before it (smaller event_id) is contained in THAT
+        # event's session (t_p == t_next >= its session start) even
+        # when the preceding event belongs to an earlier session —
+        # the BETWEEN semantics the SQL oracle implements
+        on_start = has_next & (t[p] == t[nxt_cl])
+        hit = (has_prev & (same_sess_next | on_end)) | on_start
+        # session source: the preceding event's session, except the
+        # pure on_start case, which takes the following event's
+        use_next = on_start & ~(has_prev & (same_sess_next | on_end))
+        src_rank = np.where(use_next, rank_next, rank_prev)[hit]
         return pa.table(
             {
                 "event_id": pa.array(e[p][hit], pa.int64()),
                 "user_id": pa.array(u[p][hit], pa.int64()),
-                "session_idx": pa.array(ordinal[rp], pa.int64()),
-                "session_start": pa.array(sess_start[sid[rp]], pa.int64()),
+                "session_idx": pa.array(ordinal[src_rank], pa.int64()),
+                "session_start": pa.array(sess_start[sid[src_rank]], pa.int64()),
             }
         )
 

@@ -683,3 +683,47 @@ class TestEventsRangeJoin:
                     break
         assert got == expect
         assert len(got) > 20
+
+    def test_probe_tied_with_session_start(self, ray_session, tmp_path):
+        """A probe whose ts EQUALS a session's first event but sorts
+        before it (smaller event_id) is still contained (BETWEEN
+        semantics) — the forward-fill alone would miss it."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_events_range_join,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        t2 = t0 + dt.timedelta(days=3)  # > 24h gap => new session
+        rows = [
+            # user 1: session 1 = [t0], session 2 = [t2, t2+1h]
+            (10, t0, 1, "view"),
+            (11, t2, 1, "view"),
+            (12, t2 + dt.timedelta(hours=1), 1, "view"),
+            # error tied with session 2's start, smaller event_id
+            (5, t2, 1, "error"),
+            # error tied with session 1's only event (on_end path)
+            (6, t0, 1, "error"),
+            # error in the 3-day gap: no session contains it
+            (7, t0 + dt.timedelta(days=1), 1, "error"),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        got = {r["event_id"]: (r["session_idx"], r["session_start"])
+               for r in q_events_range_join(str(tmp_path)).take_all()}
+        us = 1_000_000
+        assert got == {
+            5: (2, int(t2.timestamp() * us)),
+            6: (1, int(t0.timestamp() * us)),
+        }
