@@ -19,11 +19,16 @@ import pyarrow as pa
 from ..functions.geotags import GEOTAG_RE
 from ..functions.text_extract import (
     ENTITIES,
-    MAIN_RE,
     SCRIPT_STYLE_RE,
     TAG_RE,
     extract_text,
 )
+
+# capture-free decomposition of MAIN_RE for the vectorized path (see
+# extract_text_batch); kept adjacent to MAIN_RE's definition semantics
+_MAIN_FULL = r"(?is)<main\b[^>]*>.*?</main\s*>"
+_MAIN_PRE = r"(?is)^.*?<main\b[^>]*>"
+_MAIN_POST = r"(?is)</main\s*>.*$"
 
 _SEP = "\x00"
 
@@ -32,10 +37,11 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     """html binary column → text column (byte-identical per url).
 
     Whole-batch Arrow/RE2 kernel chain (VERDICT r3 #7 — replaces the
-    per-row extract_text() loop): decode once, then the SAME pattern
-    strings the scalar spec compiles — script/style strip, <main>
-    inner extraction (pc.extract_regex + if_else), tag strip, entity
-    unescape — each ONE C++ pass over the batch.  Character-identical
+    per-row extract_text() loop): decode once, then the scalar spec's
+    pattern semantics — script/style strip, <main> inner extraction
+    (capture-free match + anchored replaces, see inline note), tag
+    strip, entity unescape — each ONE C++ pass over the batch.
+    Character-identical
     to functions/text_extract.extract_text (differential-fuzzed +
     golden-tested)."""
     import pyarrow.compute as pc
@@ -53,8 +59,22 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
             pa.string(),
         )
     s = pc.replace_substring_regex(s, pattern=SCRIPT_STYLE_RE, replacement="")
-    inner = pc.struct_field(pc.extract_regex(s, pattern=MAIN_RE), "inner")
-    s = pc.if_else(pc.is_valid(inner), inner, s)
+    # <main> inner extraction WITHOUT capture groups: pc.extract_regex's
+    # captures force RE2 off its DFA (measured 0.25 s of a 0.43 s chain
+    # on 20k pages); a capture-free full-pattern match + two anchored
+    # single replacements computes the same inner slice 1.6x faster.
+    # Semantics proof: MAIN_RE's non-greedy picks the FIRST <main…>,
+    # inner ends at the first </main> AFTER it; the prefix replace cuts
+    # to the first <main…>, and the post replace (applied to the
+    # already-cut string) cuts from the first </main> after that same
+    # point.  `has` gates rows with no full match (e.g. unclosed <main>)
+    # back to the untouched string.
+    has = pc.match_substring_regex(s, _MAIN_FULL)
+    y = pc.replace_substring_regex(s, pattern=_MAIN_PRE, replacement="",
+                                   max_replacements=1)
+    y = pc.replace_substring_regex(y, pattern=_MAIN_POST, replacement="",
+                                   max_replacements=1)
+    s = pc.if_else(has, y, s)
     s = pc.replace_substring_regex(s, pattern=TAG_RE, replacement="")
     for ent, ch in ENTITIES:
         s = pc.replace_substring(s, pattern=ent, replacement=ch)
