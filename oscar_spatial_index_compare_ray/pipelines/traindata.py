@@ -797,8 +797,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     def sig_rows(batch: pa.Table) -> pa.Table:
         # whole-batch SimHash (VERDICT r3 #1 — replaces the per-row
         # simhash() loop): ONE tokenize/hash pass via the shared
-        # _batch_token_stream kernel, bit votes per doc via unpackbits +
-        # np.add.reduceat over doc segments, packbits back to uint64.
+        # _batch_token_stream kernel, then per-doc bit votes.
         # Byte-identical to functions/minhash.simhash (bit i set iff
         # 2*ones_i > n_tokens; empty doc → 0) — differential-tested.
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
