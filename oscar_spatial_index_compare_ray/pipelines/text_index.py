@@ -528,6 +528,79 @@ def build_vocab(terms: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+
+# per-worker-process cache for the broadcast doc→pixels lookup (the
+# make_pip_task pattern: fetched + parsed once per process)
+_DP_CACHE: dict[str, tuple] = {}
+
+# map-side broadcast join applies while the distinct (doc, pixel) table
+# fits comfortably in the object store / worker heap; beyond it the
+# shuffle join is the only correct plan (at the 10^12-doc design point
+# dp has ~one row per geocoded doc — far past any broadcast)
+BROADCAST_DP_MAX_ROWS = 4_000_000
+
+
+def _join_doc_pixels(left: ray.data.Dataset, dp: ray.data.Dataset,
+                     pixel_col: str, num_partitions: int) -> ray.data.Dataset:
+    """left ⋈ dp on doc_id — planner-style join selection (the brief's
+    'broadcast small sides with ray.put instead of a shuffle join').
+
+    The doc→pixel side is ONE row per distinct (doc, pixel); when it
+    fits (< BROADCAST_DP_MAX_ROWS), ship it once via ``ray.put`` as
+    sorted numpy arrays and attach pixels MAP-SIDE (searchsorted +
+    variable-length gather, no per-row Python) — this removes the
+    all-to-all hash join that dominated the stage-B profile (788 of
+    ~1170 task-seconds at sf0.1×40).  Row multiplicity and inner-join
+    semantics are identical to ``Dataset.join`` (pytest parity +
+    text_index oracle); when dp is too big the shuffle join runs
+    unchanged."""
+    import ray as _ray
+
+    dp = dp.materialize()  # consumed twice below (count + collect)
+    n_dp = dp.count()
+    if n_dp > BROADCAST_DP_MAX_ROWS:
+        return left.join(dp, join_type="inner",
+                         num_partitions=num_partitions, on=("doc_id",))
+    blocks = [b for b in _ray.get(dp.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return left.join(dp, join_type="inner",
+                         num_partitions=num_partitions, on=("doc_id",))
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pix = tbl.column(pixel_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(doc, kind="stable")
+    doc, pix = doc[order], pix[order]
+    first = np.r_[True, doc[1:] != doc[:-1]]
+    u_doc = doc[first]
+    offs = np.zeros(len(u_doc) + 1, np.int64)
+    np.cumsum(np.bincount(np.cumsum(first) - 1), out=offs[1:])
+    ref = _ray.put((u_doc, offs, pix))
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        parsed = _DP_CACHE.get(key)
+        if parsed is None:
+            parsed = _ray.get(ref)
+            _DP_CACHE[key] = parsed
+        ud, of, px = parsed
+        if batch.num_rows == 0:
+            return batch.append_column(pixel_col, pa.array([], pa.int64()))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(ud, ids)
+        i = np.clip(i, 0, max(len(ud) - 1, 0))
+        valid = (ud[i] == ids) if len(ud) else np.zeros(len(ids), bool)
+        n_px = np.where(valid, of[i + 1] - of[i], 0)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), n_px)
+        starts_rep = np.repeat(of[i], n_px)
+        pos = np.arange(int(n_px.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n_px) - n_px, n_px
+        )
+        out = batch.take(pa.array(rep))
+        return out.append_column(pixel_col, pa.array(px[starts_rep + pos], pa.int64()))
+
+    return left.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def build_text_index(
     corpus_dir: str,
     assignments: ray.data.Dataset,
@@ -592,7 +665,7 @@ def build_text_index(
         # re-running its distinct exchange per consumer
         dp = doc_pixels(assignments, pixel_col).materialize()
         counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
-        pairs = terms.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
+        pairs = _join_doc_pixels(terms, dp, pixel_col, num_partitions)
         from ..stages.groupagg import _partitioned_apply
 
         if salted:
@@ -612,7 +685,7 @@ def build_text_index(
     hashed = terms.map_batches(_hash_terms, batch_format="pyarrow", zero_copy_batch=True)
     dp = doc_pixels(assignments, pixel_col)
     counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
-    pairs = hashed.join(dp, join_type="inner", num_partitions=num_partitions, on=("doc_id",))
+    pairs = _join_doc_pixels(hashed, dp, pixel_col, num_partitions)
     from ..stages.groupagg import _partitioned_apply
 
     entries = _partitioned_apply(
