@@ -2058,13 +2058,47 @@ def q_tfidf_top_terms(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     df_ds = _partitioned_apply(
         tf_ds.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True),
         ["term"], 0, sum_df, out_schema=df_schema,
-    )
+    ).materialize()
 
-    scored = keyed_inner_join(
-        tf_ds, df_ds, "term",
-        pa.schema([("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]),
-        df_schema,
-    )
+    # planner-style join selection (the text_index._join_doc_pixels
+    # pattern): df is ONE row per distinct term — vocab-sized — so
+    # while it fits (< 4M terms) broadcast it and attach df MAP-SIDE
+    # (per-batch dictionary-encode + one sorted-array lookup per
+    # DISTINCT term), removing the corpus-scale tf-side sort exchange;
+    # a web-scale vocabulary falls back to the reduce-side join.
+    if df_ds.count() <= 4_000_000:
+        blocks = [b for b in ray.get(df_ds.to_arrow_refs()) if b.num_rows]
+        vt = pa.concat_tables(blocks).combine_chunks() if blocks else df_schema.empty_table()
+        vterms = np.asarray(vt.column("term").to_pylist(), dtype=object)
+        vdf = vt.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        vorder = np.argsort(vterms)
+        df_ref = ray.put((vterms[vorder], vdf[vorder]))
+
+        def attach_df(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if batch.num_rows == 0:
+                return batch.append_column("df", pa.array([], pa.int64()))
+            vts, vdfs = ray.get(df_ref)
+            enc = pc.dictionary_encode(batch.column("term").combine_chunks()
+                                       if isinstance(batch.column("term"), pa.ChunkedArray)
+                                       else batch.column("term"))
+            dvals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            i = np.searchsorted(vts, dvals)
+            i = np.clip(i, 0, max(len(vts) - 1, 0))
+            # every tf term has a df by construction (df derives from tf)
+            per_code = vdfs[i]
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            return batch.append_column("df", pa.array(per_code[codes], pa.int64()))
+
+        scored = tf_ds.map_batches(attach_df, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        scored = keyed_inner_join(
+            tf_ds, df_ds, "term",
+            pa.schema([("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]),
+            df_schema,
+        )
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
                             ("rank", pa.int64())])
