@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_points": q.q_extract_points,
         "assign_cells": q.q_assign_cells,
         "assign_simple_pixel": q.q_assign_simple_pixel,
-        "cell_doc_counts": q.q_cell_doc_counts,
+        "doc_counts": q.q_doc_counts,
         "tile_join": q.q_tile_join,
         "knn": q.q_knn,
         "search_exact": q.q_search_exact,
@@ -96,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_region_payload_s2": q.q_search_region_payload_s2,
         "term_df": q.q_term_df,
         "text_index": q.q_text_index,
-        "pixel_doc_counts": q.q_pixel_doc_counts,
     }
 
 
@@ -140,8 +139,12 @@ def oracle_sql() -> dict[str, str]:
         "assign_simple_pixel": (
             f"SELECT doc_id, point_idx, {simple_expr} AS simple_cell FROM {points}"
         ),
-        "cell_doc_counts": pip_cell + (
-            "SELECT cell_id, count(DISTINCT doc_id) AS n_docs FROM assigned GROUP BY cell_id"
+        "doc_counts": pip_cell + (
+            "SELECT 'cell' AS level, CAST(cell_id AS BIGINT) AS key, "
+            "count(DISTINCT doc_id) AS n_docs FROM assigned GROUP BY 1, 2 "
+            "UNION ALL "
+            f"SELECT 'pixel' AS level, {simple_expr} AS key, "
+            "count(DISTINCT doc_id) AS n_docs FROM pts GROUP BY 1, 2"
         ),
         "tile_join": (
             f"SELECT p.doc_id, p.point_idx, {TILE_ID_SQL} AS tile_id, t.tile_value AS tile_value "
@@ -171,10 +174,6 @@ def oracle_sql() -> dict[str, str]:
             f"       FROM tox t JOIN pts p USING (doc_id) WHERE t.term <> '' GROUP BY 1, 2) "
             f"SELECT tp.term, tp.pixel, (tp.n = tot.total) AS fm, tp.n "
             f"FROM tp JOIN tot USING (pixel)"
-        ),
-        "pixel_doc_counts": (
-            f"SELECT {simple_expr} AS simple_cell, count(DISTINCT doc_id) AS n_docs "
-            f"FROM {points} GROUP BY 1"
         ),
     }
 

@@ -375,6 +375,30 @@ def q_pixel_doc_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_doc_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct-doc counts at BOTH grouping granularities — polygon
+    cell (PIP result) and simple-grid pixel — as one artifact with a
+    `level` discriminator.  Merged from the former cell_doc_counts /
+    pixel_doc_counts queries so the driver's 50-query sweep covers
+    both groupings (round-4 had 51 keys and the 51st was silently
+    dropped)."""
+
+    def _tag(level: str, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "level": pa.array([level] * t.num_rows, pa.string()),
+                "key": t.column(key_col).cast(pa.int64()),
+                "n_docs": t.column("n_docs"),
+            })
+        return fn
+
+    cell = q_cell_doc_counts(sf_dir).map_batches(
+        _tag("cell", "cell_id"), batch_format="pyarrow")
+    pixel = q_pixel_doc_counts(sf_dir).map_batches(
+        _tag("pixel", "simple_cell"), batch_format="pyarrow")
+    return cell.union(pixel)
+
+
 def q_search_hcqr_union(sf_dir: str) -> pa.Table:
     """'table + window' evaluated through the PERSISTED HCQR payloads
     (hierarchical merge with full-match absorption, served from

@@ -73,9 +73,11 @@ def main() -> int:
     import time
 
     failures = 0
+    swept = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        swept += 1
         t0 = time.perf_counter()
         try:
             mine = to_pandas(fn(sf_dir))
@@ -113,6 +115,12 @@ def main() -> int:
                     i = int(np.nonzero(neq)[0][0])
                     print(f"   first diff col={col} row={i}: {x.iloc[i]!r} vs {y.iloc[i]!r}")
                     break
+    expected = len(only & set(qs)) if only else len(qs)
+    print(f"swept {swept}/{expected} queries ({len(qs)} registered), failures={failures}",
+          flush=True)
+    if swept != expected:
+        print("FAIL sweep incomplete: a registered query was skipped", flush=True)
+        failures += 1
     ray.shutdown()
     return failures
 
