@@ -2066,7 +2066,12 @@ def q_tfidf_top_terms(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     # (per-batch dictionary-encode + one sorted-array lookup per
     # DISTINCT term), removing the corpus-scale tf-side sort exchange;
     # a web-scale vocabulary falls back to the reduce-side join.
-    if df_ds.count() <= 4_000_000:
+    # Threshold env-overridable so tests can force the fallback branch
+    # and assert parity with the broadcast plan (VERDICT r4 #1).
+    import os as _os
+
+    df_broadcast_max = int(_os.environ.get("OSIRAY_BROADCAST_DF_MAX_ROWS", 4_000_000))
+    if df_ds.count() <= df_broadcast_max:
         blocks = [b for b in ray.get(df_ds.to_arrow_refs()) if b.num_rows]
         vt = pa.concat_tables(blocks).combine_chunks() if blocks else df_schema.empty_table()
         vterms = np.asarray(vt.column("term").to_pylist(), dtype=object)
