@@ -23,10 +23,13 @@ Algorithm (simple, deterministic readability approximation):
 
 VERSION 2 (round 4): the decode moved from step 6 to step 1 so the
 regex passes run in codepoint space with RE2-COMPATIBLE patterns (no
-backreferences, no lookahead, ASCII word boundaries via ``re.ASCII``).
-That makes the scalar spec and the vectorized Arrow/RE2 batch stage
-(stages/extract.py, ``pc.replace_substring_regex`` chain) character-
-identical by construction.  For VALID UTF-8 input the output is
+backreferences, no lookahead, ASCII word boundaries via ``re.ASCII``,
+and — round 5 — case-insensitive tag names spelled as explicit ASCII
+character classes rather than ``(?i)``, which RE2 would Unicode-case-
+fold: '<ſcript>' must not match).  That makes the scalar spec and the
+vectorized Arrow/RE2 batch stage (stages/extract.py,
+``pc.replace_substring_regex`` chain) character-identical by
+construction.  For VALID UTF-8 input the output is
 byte-identical to version 1 — the patterns only anchor on ASCII
 delimiters, which never occur inside UTF-8 multibyte sequences; inputs
 with INVALID UTF-8 may differ from v1 (a bogus byte now becomes U+FFFD
@@ -41,11 +44,19 @@ EXTRACTOR_VERSION = 2
 
 # Shared pattern SOURCE strings — compiled by Python `re` here and run
 # verbatim by Arrow/RE2 in stages/extract.py.  Constraints for parity:
-# inline (?is) only (RE2 has no (?a); Python gets ASCII semantics via
-# the re.ASCII compile flag), no backreferences (the v1 `</\1>` is
-# expanded into a per-tag alternation), no lookahead.
-SCRIPT_STYLE_RE = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>"
-MAIN_RE = r"(?is)<main\b[^>]*>(?P<inner>.*?)</main\s*>"
+# inline (?s) only, case-insensitivity spelled as EXPLICIT ASCII
+# character classes — not (?i) — because RE2's (?i) applies Unicode
+# simple case folding (U+017F 'ſ' folds to 's', so '<ſcript>' would
+# match) while Python re.ASCII|re.I does not; explicit classes make
+# the two engines identical by construction on ALL valid UTF-8
+# (ADVICE r4).  No backreferences (the v1 `</\1>` is expanded into a
+# per-tag alternation), no lookahead.
+_SCRIPT = r"[sS][cC][rR][iI][pP][tT]"
+_STYLE = r"[sS][tT][yY][lL][eE]"
+_MAIN_W = r"[mM][aA][iI][nN]"
+SCRIPT_STYLE_RE = (rf"(?s)<{_SCRIPT}\b.*?</{_SCRIPT}\s*>"
+                   rf"|<{_STYLE}\b.*?</{_STYLE}\s*>")
+MAIN_RE = rf"(?s)<{_MAIN_W}\b[^>]*>(?P<inner>.*?)</{_MAIN_W}\s*>"
 TAG_RE = r"<[^>]*>"
 
 ENTITIES = [

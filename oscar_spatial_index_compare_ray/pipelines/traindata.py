@@ -751,11 +751,21 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
         sb = sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb
         npairs = len(a)
 
-        def _blob_stream(arr: pa.BinaryArray) -> tuple[np.ndarray, np.ndarray]:
+        def _blob_stream(arr) -> tuple[np.ndarray, np.ndarray]:
             """(values concatenated as uint64, per-row set sizes) —
             zero-copy from the binary column's offsets/data buffers
-            (slice-offset aware)."""
-            offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            (slice-offset aware).  Offsets are int32 for binary and
+            int64 for large_binary; misreading one as the other would
+            silently corrupt every jaccard value (ADVICE r4), so the
+            offset dtype is selected from the Arrow type and anything
+            else is a hard error."""
+            if pa.types.is_binary(arr.type):
+                off_dtype = np.int32
+            elif pa.types.is_large_binary(arr.type):
+                off_dtype = np.int64
+            else:
+                raise TypeError(f"shingle column must be (large_)binary, got {arr.type}")
+            offs = np.frombuffer(arr.buffers()[1], off_dtype)[
                 arr.offset: arr.offset + len(arr) + 1
             ].astype(np.int64)
             vals = np.frombuffer(
@@ -915,7 +925,19 @@ def _query_vector(sf_dir: str) -> np.ndarray:
         st = md.row_group(rg).column(ci).statistics
         mins.append(st.min if st is not None and st.has_min_max else None)
     if any(m is None for m in mins):
-        rg_pick = 0  # no stats — fall back to the first row group
+        # no stats — scan ONLY the vec_id column (cheap: one int64
+        # column, never the embeddings) to locate the row group that
+        # holds the true global minimum; falling back to row group 0
+        # would silently pick a different query vector on stats-less
+        # files (ADVICE r4)
+        best_rg, best_min = 0, None
+        for rg in range(md.num_row_groups):
+            ids = f.read_row_group(rg, columns=["vec_id"]).column("vec_id").to_numpy()
+            if len(ids):
+                m = int(ids.min())
+                if best_min is None or m < best_min:
+                    best_rg, best_min = rg, m
+        rg_pick = best_rg
     else:
         rg_pick = int(np.argmin(np.asarray(mins)))
     t = f.read_row_group(rg_pick, columns=["vec_id", "embedding"])

@@ -25,10 +25,14 @@ from ..functions.text_extract import (
 )
 
 # capture-free decomposition of MAIN_RE for the vectorized path (see
-# extract_text_batch); kept adjacent to MAIN_RE's definition semantics
-_MAIN_FULL = r"(?is)<main\b[^>]*>.*?</main\s*>"
-_MAIN_PRE = r"(?is)^.*?<main\b[^>]*>"
-_MAIN_POST = r"(?is)</main\s*>.*$"
+# extract_text_batch); kept adjacent to MAIN_RE's definition semantics.
+# Case-insensitivity spelled as explicit ASCII classes, matching
+# text_extract's pattern style — RE2 (?i) would Unicode-case-fold
+# (U+017F → 's') and diverge from the Python-re scalar spec.
+_M = r"[mM][aA][iI][nN]"
+_MAIN_FULL = rf"(?s)<{_M}\b[^>]*>.*?</{_M}\s*>"
+_MAIN_PRE = rf"(?s)^.*?<{_M}\b[^>]*>"
+_MAIN_POST = rf"(?s)</{_M}\s*>.*$"
 
 _SEP = "\x00"
 

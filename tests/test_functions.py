@@ -54,6 +54,10 @@ class TestExtractTextBatchParity:
         "plain ", "café Привет ", "<MaIn>Mid</mAiN>", "<script>unclosed ",
         "< notatag", ">", "<", "日本語", "<script >sp</script >",
         "nested <main>in</main> two <main>b</main>", "<scripty>odd</scripty>",
+        # U+017F ſ folds to 's' under Unicode simple case folding: RE2
+        # (?i) would treat <ſcript> as <script>; the explicit-ASCII-class
+        # patterns must NOT (scalar and batch must agree it's a plain tag)
+        "<ſcript>not-js</ſcript>", "<ſtyle>x</ſtyle> <MaIn>Keep</mAiN>",
     ]
 
     def _cases(self, seed):
