@@ -152,10 +152,18 @@ def run_bench() -> dict:
             save_index,
         )
 
+        import shutil as _sh
+
         idx_dir = "/tmp/osiray_bench_out/index"
-        t0 = time.perf_counter()
-        save_index(SF_DIR, idx_dir, grid="h3", level=8, multiplier=1)
-        timings["index_build_persist"] = time.perf_counter() - t0
+        # best of 2 (VERDICT r4 #8: every stage best-of-N so driver
+        # snapshots stop landing in host noise phases)
+        best = float("inf")
+        for _ in range(2):
+            _sh.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            save_index(SF_DIR, idx_dir, grid="h3", level=8, multiplier=1)
+            best = min(best, time.perf_counter() - t0)
+        timings["index_build_persist"] = best
 
         eng = load_engine(idx_dir)
         vocab = [str(t) for t in eng.backend.vocab()[:200:2]]
@@ -166,11 +174,60 @@ def run_bench() -> dict:
             + [f"{t[:4]}*" for t in vocab[:10] if len(t) > 4]
         )
         eng.complete(battery[0]).flaten()  # warm row-group caches
-        t0 = time.perf_counter()
-        n_docs = sum(len(eng.complete(qq).flaten()) for qq in battery)
-        dt = time.perf_counter() - t0
+        # best of 3 (cheap: ~0.2 s/rep) — the r4 driver snapshot
+        # recorded a 37% serve "regression" that was a single-shot
+        # reading taken in a host noise phase (VERDICT r4 #2)
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_docs = sum(len(eng.complete(qq).flaten()) for qq in battery)
+            dt = min(dt, time.perf_counter() - t0)
         timings["query_serve_100q"] = dt
         timings["query_serve_ms_per_q"] = dt / max(len(battery), 1) * 1000.0
+
+        # component decomposition (VERDICT r4 #2 — the knn playbook):
+        # time parse / leaf-eval (term match + posting fetch) / set-op
+        # / flatten as separate passes over the same battery with warm
+        # caches, so a future driver regression names its component.
+        from oscar_spatial_index_compare_ray.query.parser import (
+            AllToFull,
+            Dilate,
+            SetOp,
+            parse,
+        )
+
+        def _leaves(node):
+            if isinstance(node, SetOp):
+                yield from _leaves(node.left)
+                yield from _leaves(node.right)
+            elif isinstance(node, (AllToFull, Dilate)):
+                yield from _leaves(node.child)
+            else:
+                yield node
+
+        nq = max(len(battery), 1)
+        comp = {"parse": float("inf"), "leaf_eval": float("inf"),
+                "set_op": float("inf"), "flatten": float("inf")}
+        for _ in range(3):
+            t0 = time.perf_counter()
+            parsed = [parse(qq) for qq in battery]
+            comp["parse"] = min(comp["parse"], time.perf_counter() - t0)
+            leaf_nodes = [lf for nd in parsed for lf in _leaves(nd)]
+            t0 = time.perf_counter()
+            for lf in leaf_nodes:
+                eng.evaluate(lf)
+            t_leaf = time.perf_counter() - t0
+            comp["leaf_eval"] = min(comp["leaf_eval"], t_leaf)
+            t0 = time.perf_counter()
+            cqrs = [eng.evaluate(nd) for nd in parsed]
+            t_eval = time.perf_counter() - t0
+            comp["set_op"] = min(comp["set_op"], max(t_eval - t_leaf, 0.0))
+            t0 = time.perf_counter()
+            for c in cqrs:
+                c.flaten()
+            comp["flatten"] = min(comp["flatten"], time.perf_counter() - t0)
+        for k, v in comp.items():
+            timings[f"serve_{k}_ms_per_q"] = v / nq * 1000.0
 
         # vectorized substring/suffix TERM MATCH over the vocab (one
         # pc.match_substring / pc.ends_with kernel call; VERDICT r2 #3
