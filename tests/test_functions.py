@@ -99,6 +99,45 @@ class TestExtractTextBatchParity:
         assert got == [extract_text(h) for h in cases]
 
 
+class TestExplodeBatchParity:
+    """The whole-batch Arrow/RE2 geotag explode must match the scalar
+    extract_geotags row-for-row, including fake-marker text, interleaved
+    forms, out-of-range coords, empty and null rows."""
+
+    def test_differential(self):
+        import random
+
+        import numpy as np
+        import pyarrow as pa
+
+        from oscar_spatial_index_compare_ray.stages.extract import (
+            explode_points_batch,
+        )
+
+        rng = random.Random(3)
+        frags = [
+            "geo:48.7758,9.1829", " x ", "(lat -1.5000, lon 10.0000)",
+            "geo:95.0000,10.0000", "(lat 2, lon 3)", "geo:abc,def",
+            "\x01fake 1.0 \x022.0\x03", "geo:-90.000,-180.000",
+            "plain text", "geo:12.3,45.6geo:1.1,2.2",
+            "(lat 1.0, lon 2.0geo:9.9,8.8)", "",
+            "(lat geo:1.0,2.0, lon 3.0)", "geo:1.0,(lat 2.0, lon 3.0)",
+        ]
+        texts = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 8)))
+                 for _ in range(300)] + [None, "", "geo:1.123,2.456"]
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        out = explode_points_batch(batch)
+        got = list(zip(out.column("doc_id").to_pylist(),
+                       out.column("point_idx").to_pylist(),
+                       out.column("lat").to_pylist(),
+                       out.column("lon").to_pylist()))
+        want = [(i, j, la, lo)
+                for i, t in enumerate(texts)
+                for j, (la, lo) in enumerate(extract_geotags(t or ""))]
+        assert got == want and len(got) > 100
+
+
 class TestGeotags:
     def test_both_formats_in_order(self):
         text = "a geo:48.7758,9.1829 b (lat -1.5000, lon 10.0000) c"
