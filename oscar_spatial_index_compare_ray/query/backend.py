@@ -276,19 +276,21 @@ class InMemoryBackend:
         pos = np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
         return self._po_vals[starts_rep + pos]
 
-    def post_many_split(self, pixels: np.ndarray) -> list:
-        """Per-pixel doc arrays, aligned with the input order (views)."""
+    def post_many_counts(self, pixels: np.ndarray):
+        """(concatenated docs, per-pixel counts) aligned with the input
+        order — the fully flat bulk expansion the CQR set-op kernel
+        consumes (zero count for unknown pixels, no per-pixel array
+        objects)."""
         pixels = np.asarray(pixels, np.int64)
-        if not len(pixels):
-            return []
+        if not len(pixels) or not len(self._po_pix):
+            return np.empty(0, np.int64), np.zeros(len(pixels), np.int64)
         idx = np.clip(np.searchsorted(self._po_pix, pixels), 0,
-                      max(len(self._po_pix) - 1, 0))
-        empty = np.empty(0, np.int64)
-        return [
-            self._po_vals[self._po_offs[i]: self._po_offs[i + 1]]
-            if len(self._po_pix) and self._po_pix[i] == p else empty
-            for i, p in zip(idx, pixels)
-        ]
+                      len(self._po_pix) - 1)
+        valid = self._po_pix[idx] == pixels
+        counts = np.where(valid, self._po_offs[idx + 1] - self._po_offs[idx], 0)
+        starts_rep = np.repeat(self._po_offs[idx], counts)
+        pos = np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        return self._po_vals[starts_rep + pos], counts
 
     def populated_pixels(self) -> np.ndarray:
         return self._po_pix
@@ -480,28 +482,39 @@ class ParquetBackend:
                 parts.append(vals[starts_rep + pos])
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
-    def post_many_split(self, pixels: np.ndarray) -> list:
-        """Per-pixel doc arrays aligned with input order: one pass over
-        the covering row groups, then per-pixel views from the parsed
-        caches (no per-pixel store round trips)."""
+    def post_many_counts(self, pixels: np.ndarray):
+        """(concatenated docs, per-pixel counts) aligned with the input
+        order, which must be sorted ascending (CQR pixel arrays are).
+        One vectorized variable-length gather per covering row group —
+        no per-pixel array objects (the dict-of-views ``many_split``
+        path was 2.1 s of a 5.3 s heavy sym_diff; this is the flat
+        replacement the set-op kernel consumes)."""
         pixels = np.asarray(pixels, np.int64)
+        counts = np.zeros(len(pixels), np.int64)
         if not len(pixels):
-            return []
-        empty = np.empty(0, np.int64)
-        out: dict[int, np.ndarray] = {}
-        uniq = np.unique(pixels)
-        for gi in self._po._select_groups(int(uniq[0]), int(uniq[-1])):
+            return np.empty(0, np.int64), counts
+        parts = []
+        for gi in self._po._select_groups(int(pixels[0]), int(pixels[-1])):
             pix, offs, vals = self._po_parsed(gi)
             if not len(pix):
                 continue
-            sel = uniq[(uniq >= pix[0]) & (uniq <= pix[-1])]
-            if not len(sel):
+            # input positions whose pixel falls inside this group's
+            # key range (groups are disjoint ascending → windows are
+            # disjoint ascending → concatenation stays input-ordered)
+            lo, hi = np.searchsorted(pixels, [pix[0], pix[-1] + 1])
+            if lo == hi:
                 continue
+            sel = pixels[lo:hi]
             idx = np.clip(np.searchsorted(pix, sel), 0, len(pix) - 1)
-            for p, i in zip(sel, idx):
-                if pix[i] == p:
-                    out[int(p)] = vals[offs[i]: offs[i + 1]]
-        return [out.get(int(p), empty) for p in pixels]
+            valid = pix[idx] == sel
+            cg = np.where(valid, offs[idx + 1] - offs[idx], 0)
+            counts[lo:hi] = cg
+            starts_rep = np.repeat(offs[idx], cg)
+            pos = np.arange(int(cg.sum())) - np.repeat(np.cumsum(cg) - cg, cg)
+            if len(pos):
+                parts.append(vals[starts_rep + pos])
+        return (np.concatenate(parts) if parts
+                else np.empty(0, np.int64)), counts
 
     def populated_pixels(self) -> np.ndarray:
         return self._pop

@@ -31,6 +31,83 @@ import numpy as np
 Postings = Callable[[int], np.ndarray]  # pixel -> sorted doc ids
 
 
+def _seg_setop_flat(A, sa, B, sb, op: str):
+    """Per-segment set ops over FLAT (docs, segment-id) pairs — each
+    side sorted-unique WITHIN a segment — vectorized: ONE lexsort over
+    the concatenation instead of a numpy set call per segment.
+
+    With tens of thousands of common pixels per heavy query, per-pixel
+    ``np.setdiff1d``/``setxor1d`` calls are pure fixed overhead (~10 µs
+    each); measured on the 200k-page index heavy battery the flat
+    kernel chain takes `a ^ b` from 5.1 s to <1 s (BASELINE.md
+    round-5 section).
+
+    Pairing trick: each side is unique within a segment, so after
+    sorting by (segment, doc) a doc present on BOTH sides appears as an
+    adjacent equal pair; presence/absence of that pair is exactly the
+    membership test every set op needs.
+
+    Returns (docs, seg) of the result, sorted by (seg, doc).
+    """
+    docs = np.concatenate([A, B])
+    seg = np.concatenate([sa, sb])
+    from_a = np.zeros(len(docs), bool)
+    from_a[: len(A)] = True
+    if len(docs):
+        dmax, dmin, smax = int(docs.max()), int(docs.min()), int(seg.max())
+    else:
+        dmax = dmin = smax = 0
+    if dmin >= 0 and (smax + 1) * (dmax + 1) < (1 << 63):
+        # (seg, doc) packs injectively into one int64 → a single
+        # argsort, ~4× cheaper than lexsort on two key arrays
+        order = np.argsort(seg * np.int64(dmax + 1) + docs)
+    else:  # pragma: no cover - doc ids beyond 2^63/segs
+        order = np.lexsort((docs, seg))
+    d, s, fa = docs[order], seg[order], from_a[order]
+    same_next = np.zeros(len(d), bool)
+    if len(d) > 1:
+        same_next[:-1] = (d[:-1] == d[1:]) & (s[:-1] == s[1:])
+    paired = same_next.copy()
+    paired[1:] |= same_next[:-1]
+    if op == "+":
+        keep = ~paired | fa          # singles + the A copy of each pair
+    elif op in (" ", "/"):
+        keep = paired & fa           # one copy per pair
+    elif op == "-":
+        keep = fa & ~paired          # A docs with no B twin
+    elif op == "^":
+        keep = ~paired               # docs on exactly one side
+    else:  # pragma: no cover
+        raise ValueError(f"unknown set op {op!r}")
+    return d[keep], s[keep]
+
+
+def _split_runs(d2, s2):
+    """(seg ids present, list of per-seg doc views) from a flat result
+    sorted by seg — only NONEMPTY segments produce entries, so no
+    ``np.split`` over 10⁵ mostly-empty cuts (np.split's per-part
+    swapaxes was 1.3 s of a 5.3 s sym_diff before this)."""
+    if not len(s2):
+        return np.empty(0, np.int64), []
+    bounds = np.nonzero(np.diff(s2))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(s2)]])
+    return s2[starts], [d2[lo:hi] for lo, hi in zip(starts, ends)]
+
+
+def _items_flat(items: list, idx_map, pm):
+    """Flat (docs, seg) view of ``items[idx_map[k]] for k in pm`` with
+    seg ids = the k values themselves (need not be contiguous — the
+    kernel only groups by equal seg)."""
+    if not len(pm):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = np.fromiter((len(items[idx_map[k]]) for k in pm), np.int64, len(pm))
+    if not int(lens.sum()):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = np.concatenate([items[idx_map[k]] for k in pm])
+    return docs, np.repeat(np.asarray(pm, np.int64), lens)
+
+
 @dataclass
 class CQR:
     pixels: np.ndarray  # int64, sorted ascending
@@ -58,25 +135,34 @@ class CQR:
             return self.postings(int(self.pixels[i]))
         return self.items[i]
 
-    def _docs_many(self, idxs) -> list:
-        """Aligned doc arrays for the given slots; fm rows expand via
-        the postings store's BULK split path when available."""
+    def _docs_flat(self, idxs):
+        """Flat (docs, seg) over the given slots, seg = position within
+        ``idxs``; fm rows expand through the postings store's BULK
+        counts path (one variable-length gather per covering row group
+        — no per-pixel array objects at all)."""
         idxs = np.asarray(idxs, np.int64)
-        out: list = [None] * len(idxs)
-        fm_pos = [k for k in range(len(idxs)) if self.fm[idxs[k]]]
-        if fm_pos and hasattr(self.postings, "many_split"):
-            arrs = self.postings.many_split(
-                self.pixels[idxs[np.array(fm_pos, np.int64)]]
-            )
-            for k, arr in zip(fm_pos, arrs):
-                out[k] = arr
-        else:
-            for k in fm_pos:
-                out[k] = self.postings(int(self.pixels[idxs[k]]))
-        for k in range(len(idxs)):
-            if out[k] is None:
-                out[k] = self.items[idxs[k]]
-        return out
+        fmm = self.fm[idxs]
+        fm_pos = np.nonzero(fmm)[0]
+        pm_pos = np.nonzero(~fmm)[0]
+        parts, segs = [], []
+        if len(fm_pos):
+            p = self.pixels[idxs[fm_pos]]
+            if hasattr(self.postings, "many_counts"):
+                vals, counts = self.postings.many_counts(p)
+            else:
+                arrs = [self.postings(int(x)) for x in p]
+                counts = np.fromiter((len(x) for x in arrs), np.int64,
+                                     len(arrs))
+                vals = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            parts.append(vals)
+            segs.append(np.repeat(fm_pos, counts))
+        if len(pm_pos):
+            docs, seg = _items_flat(self.items, idxs, pm_pos)
+            parts.append(docs)
+            segs.append(seg)
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(parts), np.concatenate(segs)
 
     def cell_count(self) -> int:
         return len(self.pixels)
@@ -89,14 +175,18 @@ class CQR:
         common, ia, ib = np.intersect1d(a.pixels, b.pixels, return_indices=True)
         only_a = np.ones(len(a.pixels), bool); only_a[ia] = False
         only_b = np.ones(len(b.pixels), bool); only_b[ib] = False
+        fm_any = a.fm[ia] | b.fm[ib]
         pix_parts = [a.pixels[only_a], b.pixels[only_b], common]
-        fm_parts = [a.fm[only_a], b.fm[only_b], a.fm[ia] | b.fm[ib]]
+        fm_parts = [a.fm[only_a], b.fm[only_b], fm_any]
         items = [a.items[i] for i in np.nonzero(only_a)[0]]
         items += [b.items[j] for j in np.nonzero(only_b)[0]]
-        for i, j in zip(ia, ib):
-            items.append(
-                None if (a.fm[i] or b.fm[j]) else np.union1d(a.items[i], b.items[j])
-            )
+        c_items: list = [None] * len(common)
+        pm = np.nonzero(~fm_any)[0]
+        A, sa = _items_flat(a.items, ia, pm)
+        B, sb = _items_flat(b.items, ib, pm)
+        for k, arr in zip(*_split_runs(*_seg_setop_flat(A, sa, B, sb, "+"))):
+            c_items[k] = arr
+        items += c_items
         pix = np.concatenate(pix_parts)
         fm = np.concatenate(fm_parts)
         order = np.argsort(pix, kind="stable")
@@ -104,20 +194,24 @@ class CQR:
 
     def intersect(self, other: "CQR") -> "CQR":
         post = self.postings or other.postings
-        pix, fm, items = [], [], []
         common, ia, ib = np.intersect1d(self.pixels, other.pixels, return_indices=True)
-        for p, i, j in zip(common, ia, ib):
-            if self.fm[i] and other.fm[j]:
-                pix.append(p); fm.append(True); items.append(None)
-                continue
-            if self.fm[i]:
-                docs = other.items[j]
-            elif other.fm[j]:
-                docs = self.items[i]
-            else:
-                docs = np.intersect1d(self.items[i], other.items[j])
-            if len(docs):
-                pix.append(p); fm.append(False); items.append(docs)
+        afm, bfm = self.fm[ia], other.fm[ib]
+        docs_list: list = [None] * len(common)
+        pm = np.nonzero(~afm & ~bfm)[0]
+        A, sa = _items_flat(self.items, ia, pm)
+        B, sb = _items_flat(other.items, ib, pm)
+        for k, arr in zip(*_split_runs(*_seg_setop_flat(A, sa, B, sb, "/"))):
+            docs_list[k] = arr
+        pix, fm, items = [], [], []
+        for k in range(len(common)):
+            if afm[k] and bfm[k]:
+                pix.append(common[k]); fm.append(True); items.append(None)
+            elif afm[k]:
+                pix.append(common[k]); fm.append(False); items.append(other.items[ib[k]])
+            elif bfm[k]:
+                pix.append(common[k]); fm.append(False); items.append(self.items[ia[k]])
+            elif docs_list[k] is not None and len(docs_list[k]):
+                pix.append(common[k]); fm.append(False); items.append(docs_list[k])
         return CQR(np.array(pix, np.int64), np.array(fm, bool), items, post)
 
     def difference(self, other: "CQR") -> "CQR":
@@ -130,13 +224,12 @@ class CQR:
         fm = [a.fm[keep_a]]
         items = [a.items[i] for i in keep_a]
         c_pix, c_items = [], []
-        a_docs = a._docs_many(ia)  # bulk fm expansion, aligned with ia
-        for k, (i, j) in enumerate(zip(ia, ib)):
-            if b.fm[j]:
-                continue  # every doc of the pixel removed
-            docs = np.setdiff1d(a_docs[k], b.items[j], assume_unique=True)
-            if len(docs):
-                c_pix.append(a.pixels[i]); c_items.append(docs)
+        # pixels fully removed by a full-match b side never need expansion
+        c_keep = np.nonzero(~b.fm[ib])[0]
+        A, sa = a._docs_flat(ia[c_keep])   # seg = position within c_keep
+        B, sb = _items_flat(b.items, ib[c_keep], np.arange(len(c_keep)))
+        for q, docs in zip(*_split_runs(*_seg_setop_flat(A, sa, B, sb, "-"))):
+            c_pix.append(common[c_keep[q]]); c_items.append(docs)
         pix.append(np.array(c_pix, np.int64))
         fm.append(np.zeros(len(c_pix), bool))
         items += c_items
@@ -156,12 +249,10 @@ class CQR:
         fm = [a.fm[ka], b.fm[kb]]
         items = [a.items[i] for i in ka] + [b.items[j] for j in kb]
         c_pix, c_items = [], []
-        a_docs = a._docs_many(ia)
-        b_docs = b._docs_many(ib)
-        for k, (i, j) in enumerate(zip(ia, ib)):
-            docs = np.setxor1d(a_docs[k], b_docs[k], assume_unique=True)
-            if len(docs):
-                c_pix.append(a.pixels[i]); c_items.append(docs)
+        A, sa = a._docs_flat(ia)
+        B, sb = b._docs_flat(ib)
+        for k, docs in zip(*_split_runs(*_seg_setop_flat(A, sa, B, sb, "^"))):
+            c_pix.append(common[k]); c_items.append(docs)
         pix.append(np.array(c_pix, np.int64))
         fm.append(np.zeros(len(c_pix), bool))
         items += c_items

@@ -67,8 +67,8 @@ class _PostingsLookup:
     def many(self, pixels: np.ndarray) -> np.ndarray:
         return self._b.post_many(pixels)
 
-    def many_split(self, pixels: np.ndarray) -> list:
-        return self._b.post_many_split(pixels)
+    def many_counts(self, pixels: np.ndarray):
+        return self._b.post_many_counts(pixels)
 
 
 class QueryEngine:
