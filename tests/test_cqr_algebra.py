@@ -19,7 +19,7 @@ def _post(p: int) -> np.ndarray:
     return np.arange(p * 10, p * 10 + DOCS_PER_PIXEL, dtype=np.int64)
 
 
-def _docsets_to_cqr(docsets: dict[int, set[int]]) -> CQR:
+def _rows(docsets: dict[int, set[int]]):
     pix, fm, items = [], [], []
     for p, s in sorted(docsets.items()):
         if not s:
@@ -28,7 +28,11 @@ def _docsets_to_cqr(docsets: dict[int, set[int]]) -> CQR:
         pix.append(p)
         fm.append(full)
         items.append(None if full else np.array(sorted(s), dtype=np.int64))
-    return CQR.from_rows(pix, fm, items, _post)
+    return pix, fm, items
+
+
+def _docsets_to_cqr(docsets: dict[int, set[int]]) -> CQR:
+    return CQR.from_rows(*_rows(docsets), _post)
 
 
 def _flatten(docsets: dict[int, set[int]]) -> list[int]:
@@ -63,6 +67,46 @@ def test_ops_match_set_semantics(a, b):
         # static-htm-index.cpp:210-219)
         lazy = TreedCQR.from_cqr(ca).apply(op, TreedCQR.from_cqr(cb)).flaten().tolist()
         assert lazy == got, op
+
+
+class _BulkPost:
+    """Callable postings exposing the backend's bulk contract
+    (`many` / `many_counts`, input sorted ascending) so the hypothesis
+    suite drives the flat set-op kernel's BULK full-match expansion —
+    the path every served query takes via engine._PostingsLookup —
+    not just the scalar per-pixel fallback."""
+
+    def __call__(self, pixel: int) -> np.ndarray:
+        return _post(int(pixel))
+
+    def many(self, pixels: np.ndarray) -> np.ndarray:
+        pixels = np.asarray(pixels, np.int64)
+        return (
+            np.concatenate([_post(int(p)) for p in pixels])
+            if len(pixels) else np.empty(0, np.int64)
+        )
+
+    def many_counts(self, pixels: np.ndarray):
+        pixels = np.asarray(pixels, np.int64)
+        assert np.all(np.diff(pixels) >= 0), "bulk contract: sorted input"
+        return self.many(pixels), np.full(len(pixels), DOCS_PER_PIXEL, np.int64)
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=docset_strategy, b=docset_strategy)
+def test_ops_match_set_semantics_bulk_postings(a, b):
+    bulk = _BulkPost()
+    ca = CQR.from_rows(*_rows(a), bulk)
+    cb = CQR.from_rows(*_rows(b), bulk)
+    keys = set(a) | set(b)
+    ref = {
+        "+": {p: a.get(p, set()) | b.get(p, set()) for p in keys},
+        " ": {p: a.get(p, set()) & b.get(p, set()) for p in keys},
+        "-": {p: a.get(p, set()) - b.get(p, set()) for p in keys},
+        "^": {p: a.get(p, set()) ^ b.get(p, set()) for p in keys},
+    }
+    for op, expected in ref.items():
+        assert ca.apply(op, cb).flaten().tolist() == _flatten(expected), op
 
 
 @settings(max_examples=100, deadline=None)
