@@ -1401,6 +1401,61 @@ def _retyped(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _clusters_driver_max_edges() -> int:
+    """Planner threshold for the dedup-clusters small-side finisher.
+
+    Env-overridable (OSIRAY_CLUSTERS_DRIVER_MAX_EDGES) so tests can
+    force the distributed label-propagation branch — the branch that
+    runs at the 10^12-doc design point — and assert output parity with
+    the driver-side finisher.  4M edges ≈ 64 MB on the driver."""
+    import os as _os
+
+    return int(_os.environ.get("OSIRAY_CLUSTERS_DRIVER_MAX_EDGES", 4_000_000))
+
+
+def _components_driver_side(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Connected components of a SMALL edge set on the driver: numpy
+    scatter-min + pointer jumping over compressed node ids — one pass,
+    no per-round Dataset exchanges.  Output semantics identical to the
+    distributed loop: (doc_id, keeper = min doc of the component) for
+    every doc appearing in an edge (every such doc is in a >=2-doc
+    cluster by construction)."""
+    out_schema = pa.schema([("doc_id", pa.int64()), ("keeper", pa.int64())])
+    tbl = pa.concat_tables(
+        [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows],
+        promote_options="default",
+    ) if edges.count() else None
+    if tbl is None or tbl.num_rows == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    a = tbl.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    prev = -1
+    # labels only decrease and nodes is sorted, so the compressed min
+    # label of a component indexes its minimum doc id — equal sums ⇔
+    # fixpoint (the same monitor the distributed loop uses)
+    while True:
+        m = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        while True:  # pointer jumping to full path compression
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        s = int(label.sum())
+        if s == prev:
+            break
+        prev = s
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                  "keeper": pa.array(nodes[label], pa.int64())})
+    )
+
+
 def q_dedup_clusters(sf_dir: str, tau: float = 0.6) -> ray.data.Dataset:
     """Near-dup CLUSTERS from LSH-verified pairs: connected components
     via DISTRIBUTED min-label propagation WITH POINTER JUMPING — every
@@ -1421,7 +1476,12 @@ def q_dedup_clusters(sf_dir: str, tau: float = 0.6) -> ray.data.Dataset:
 
     Output: (doc_id, keeper=min doc of the component) for every doc in
     a >=2-doc cluster.  Rows-only at the gate; pytest cross-checks
-    against a driver union-find over the same edge set."""
+    against a driver union-find over the same edge set.
+
+    Planner: edge sets at or under OSIRAY_CLUSTERS_DRIVER_MAX_EDGES
+    (default 4M ≈ 64 MB) finish driver-side in one numpy pass
+    (_components_driver_side); the distributed loop below is the
+    at-scale path, forced in tests via the env knob."""
     from ray.data.aggregate import Min, Sum
 
     edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -1431,6 +1491,21 @@ def q_dedup_clusters(sf_dir: str, tau: float = 0.6) -> ray.data.Dataset:
         q_dedup_minhash(sf_dir, tau).select_columns(["doc_a", "doc_b"]),
         edge_schema,
     ).materialize()
+
+    # planner-style path selection (the broadcast-join precedent,
+    # pipelines/text_index._join_doc_pixels): the edge set is one row
+    # per VERIFIED near-dup pair — orders of magnitude smaller than the
+    # corpus — so under the threshold the components finish driver-side
+    # in one numpy union-find pass instead of O(log n) distributed
+    # join+groupby rounds whose per-round exchange cost is fixed
+    # overhead at small edge counts (measured: 1M-doc probe 412 s →
+    # ~minhash-only with the driver finisher; the label rounds were
+    # ~2/3 of the wall for a 95k-row edge set).  Beyond the threshold
+    # (billions of pairs at the 10^12-doc design point) the distributed
+    # label-propagation loop below runs unchanged.  Both paths are
+    # asserted output-identical in tests/test_traindata.py.
+    if edges.count() <= _clusters_driver_max_edges():
+        return _components_driver_side(edges)
 
     def endpoint_msgs(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)

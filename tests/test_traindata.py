@@ -199,9 +199,18 @@ class TestMultimodal:
 
 
 class TestDedupClusters:
-    def test_clusters_match_union_find(self, ray_session):
-        """Distributed label-propagation clusters == driver union-find
-        over the SAME LSH-verified edge set."""
+    @pytest.mark.parametrize("path", ["driver", "distributed"])
+    def test_clusters_match_union_find(self, ray_session, monkeypatch, path):
+        """BOTH planner branches (driver-side numpy finisher and the
+        at-scale distributed label-propagation loop) == driver
+        union-find over the SAME LSH-verified edge set — the parity
+        contract of the planner split (VERDICT r4 #1 pattern)."""
+        if path == "distributed":
+            # threshold 0 forces the loop that runs at design scale
+            monkeypatch.setenv("OSIRAY_CLUSTERS_DRIVER_MAX_EDGES", "0")
+        else:
+            monkeypatch.delenv("OSIRAY_CLUSTERS_DRIVER_MAX_EDGES",
+                               raising=False)
         from oscar_spatial_index_compare_ray.pipelines.traindata import (
             q_dedup_clusters,
             q_dedup_minhash,
