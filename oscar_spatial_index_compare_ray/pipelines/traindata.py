@@ -616,6 +616,50 @@ def q_jaccard_pairs(sf_dir: str, tau: float = 0.4, buckets: int = 8) -> ray.data
                               out_schema=out_schema)
 
 
+def _doc_count(sf_dir: str) -> int:
+    """Row count of the documents table from parquet METADATA only
+    (file footers — no data read, no Ray tasks)."""
+    import os as _os
+
+    import pyarrow.dataset as pads
+
+    return pads.dataset(_os.path.join(sf_dir, "documents.parquet")).count_rows()
+
+
+def _shingle_cache_max_docs() -> int:
+    """Planner threshold for caching the packed shingle table in the
+    object store (one tokenize+shingle pass shared by minhash
+    signatures and both verify joins) vs streaming recompute.
+    Env-overridable (OSIRAY_SHINGLE_CACHE_MAX_DOCS) so tests can force
+    the recompute branch — the one that runs at design scale — and
+    assert output parity."""
+    import os as _os
+
+    return int(_os.environ.get("OSIRAY_SHINGLE_CACHE_MAX_DOCS", 2_000_000))
+
+
+def _shingle_blob_stream(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(values concatenated as uint64, per-row set sizes) — zero-copy
+    from a packed-shingle binary column's offsets/data buffers
+    (slice-offset aware).  Offsets are int32 for binary and int64 for
+    large_binary; misreading one as the other would silently corrupt
+    every downstream value (ADVICE r4), so the offset dtype is selected
+    from the Arrow type and anything else is a hard error."""
+    if pa.types.is_binary(arr.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"shingle column must be (large_)binary, got {arr.type}")
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = arr.buffers()[2]  # None when every blob in the array is empty
+    vals = (np.frombuffer(data[offs[0]: offs[-1]], np.uint64)
+            if data is not None else np.empty(0, np.uint64))
+    return vals, np.diff(offs) // 8
+
+
 def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
                     bands: int = 32) -> ray.data.Dataset:
     """MinHash + LSH near-dup pairs, verified with exact 3-gram shingle
@@ -628,23 +672,45 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
     ≥ 1 - 7e-7 at j = τ = 0.6 — effectively recall 1.0 at and above the
     verify threshold, which is what lets the DuckDB oracle mirror the
     output as ALL exact shingle-jaccard pairs ≥ τ (pytest asserts exact
-    equality on the test corpora)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    equality on the test corpora).
+
+    Shingle-pass planner: signatures and verification both consume
+    `_doc_shingles`.  Lazy, Ray fuses the shingle map separately into
+    EACH consumer branch (verified in ds.stats(): the pass ran twice),
+    so under OSIRAY_SHINGLE_CACHE_MAX_DOCS (default 2M docs) the packed
+    shingle table is materialized once into the object store and all
+    three consumers read it; beyond that (the 10^12-doc design point,
+    where the blob table is corpus-sized and pinning it means spilling
+    ~the corpus) the recompute STREAMS — the standard cache-vs-
+    recompute call, made planner-style like the broadcast joins.
+    Measured crossover (BASELINE.md round-5): at 100k docs the cache
+    wins 1.9× (fixed per-pass cost dominates); at 1M docs cache and
+    stream are within noise (the materialize barrier gives back its
+    savings in lost pipelining), so past ~2M the streaming branch's
+    pipelining + zero store footprint wins."""
+    sh = _doc_shingles(sf_dir)
+    if _doc_count(sf_dir) <= _shingle_cache_max_docs():
+        sh = sh.materialize()
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        """Batch-vectorized minhash: shingles for ALL docs via the
-        shared stream kernel, then per hash family one rehash of the
-        whole shingle stream + np.minimum.reduceat over doc segments,
-        and the band fold applied column-wise across all docs at once —
-        semantics identical to shingle_hashes → minhash_signature →
-        lsh_bands per doc (pytest parity)."""
+        """Batch-vectorized minhash over the PACKED shingle sets: per
+        hash family one rehash of the whole blob stream +
+        np.minimum.reduceat over doc segments, and the band fold
+        applied column-wise across all docs at once — semantics
+        identical to shingle_hashes → minhash_signature → lsh_bands per
+        doc (pytest parity; min over the sorted-UNIQUE set equals min
+        over the raw stream)."""
         if batch.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64())})
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        drep, th, n_tok, n = _batch_token_stream(batch)
-        _, sv, st = _stream_doc_shingles(drep, th, n_tok, n, 3)
+        arr = batch.column("shingles")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        sv, counts = _shingle_blob_stream(arr)
+        n = len(ids)
+        st = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=st[1:])
         seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64) ^ np.uint64(0x5EED))
         has = np.diff(st) > 0
         seg_starts = st[:-1][has]
@@ -670,7 +736,7 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
             }
         )
 
-    buckets = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+    buckets = sh.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     from ..stages.groupagg import _partitioned_apply
 
@@ -728,8 +794,8 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
 
     # distributed verify: ship each side's shingle set to its pairs via
     # two hash joins (verify data travels WITH the rows — bucket-local,
-    # zero broadcast; VERDICT round-1 'What's wrong' #1)
-    sh = _doc_shingles(sf_dir)
+    # zero broadcast; VERDICT round-1 'What's wrong' #1); `sh` is the
+    # SAME lazy dataset the signatures consumed above
     sh_a = sh.rename_columns({"doc_id": "doc_a", "shingles": "sh_a"})
     sh_b = sh.rename_columns({"doc_id": "doc_b", "shingles": "sh_b"})
     i64, vbin = pa.int64(), pa.binary()
@@ -765,31 +831,8 @@ def q_dedup_minhash(sf_dir: str, tau: float = 0.6, num_hashes: int = 64,
         sa = sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa
         sb = sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb
         npairs = len(a)
-
-        def _blob_stream(arr) -> tuple[np.ndarray, np.ndarray]:
-            """(values concatenated as uint64, per-row set sizes) —
-            zero-copy from the binary column's offsets/data buffers
-            (slice-offset aware).  Offsets are int32 for binary and
-            int64 for large_binary; misreading one as the other would
-            silently corrupt every jaccard value (ADVICE r4), so the
-            offset dtype is selected from the Arrow type and anything
-            else is a hard error."""
-            if pa.types.is_binary(arr.type):
-                off_dtype = np.int32
-            elif pa.types.is_large_binary(arr.type):
-                off_dtype = np.int64
-            else:
-                raise TypeError(f"shingle column must be (large_)binary, got {arr.type}")
-            offs = np.frombuffer(arr.buffers()[1], off_dtype)[
-                arr.offset: arr.offset + len(arr) + 1
-            ].astype(np.int64)
-            vals = np.frombuffer(
-                arr.buffers()[2][offs[0]: offs[-1]], np.uint64
-            )
-            return vals, np.diff(offs) // 8
-
-        va, na = _blob_stream(sa)
-        vb, nb = _blob_stream(sb)
+        va, na = _shingle_blob_stream(sa)
+        vb, nb = _shingle_blob_stream(sb)
         pair_rep = np.concatenate([np.repeat(np.arange(npairs, dtype=np.int64), na),
                                    np.repeat(np.arange(npairs, dtype=np.int64), nb)])
         vals = np.concatenate([va, vb])

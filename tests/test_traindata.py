@@ -198,6 +198,30 @@ class TestMultimodal:
             real_decode(b"xx", "image")
 
 
+class TestShingleCachePlanner:
+    def test_minhash_identical_on_both_shingle_branches(self, ray_session,
+                                                        monkeypatch):
+        """The shingle-pass planner (cache the packed shingle table in
+        the object store vs stream-recompute per consumer) must not
+        change output: force the recompute branch — the design-scale
+        path — and assert pair-level equality with the cached plan."""
+        from oscar_spatial_index_compare_ray.pipelines.traindata import (
+            q_dedup_minhash,
+        )
+
+        def rows(ds):
+            return sorted(
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                for r in ds.take_all()
+            )
+
+        monkeypatch.delenv("OSIRAY_SHINGLE_CACHE_MAX_DOCS", raising=False)
+        cached = rows(q_dedup_minhash(SF, tau=0.6))
+        monkeypatch.setenv("OSIRAY_SHINGLE_CACHE_MAX_DOCS", "0")
+        streamed = rows(q_dedup_minhash(SF, tau=0.6))
+        assert cached == streamed and len(cached) > 0
+
+
 class TestDedupClusters:
     @pytest.mark.parametrize("path", ["driver", "distributed"])
     def test_clusters_match_union_find(self, ray_session, monkeypatch, path):
