@@ -271,8 +271,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
+        # MULT >= 600 (3M pages): the 4N leg must run far above the
+        # ~2-3 s fixed per-execution cost (scheduling + actor spin-up),
+        # which is the SAME at every CPU count — at 1M pages the 8-cpu
+        # leg finished in ~11 s, so that constant alone depressed
+        # measured 2->8 efficiency by up to ~20% in fast host phases
+        # (observed 0.775 with record-fast legs vs 0.989 in slow ones).
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), OSIRAY_BENCH_FAST="1",
-                   OSIRAY_BENCH_MULT=str(max(MULT, 200)))
+                   OSIRAY_BENCH_MULT=str(max(MULT, 600)))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
