@@ -324,15 +324,16 @@ def run_scaling() -> None:
     )
 
 
-def run_bench_with_retry(attempts: int = 2) -> None:
+def run_bench_with_retry(attempts: int = 3) -> None:
     """Run the bench in a SUBPROCESS and retry once on a non-zero exit.
 
     Ray 2.49's core occasionally dies mid-run with an internal
     `task_manager.cc: Check failed: it != submissible_tasks_.end()`
     race (observed ~2/15 runs on this host; a RAY_CHECK abort kills the
     whole process, so no in-process handling is possible).  The bench
-    is the driver's per-round record — one retry in a fresh process
-    keeps a transient Ray crash from recording an empty round."""
+    is the driver's per-round record — retries in fresh processes keep
+    a transient Ray crash from recording an empty round (~13% per run
+    observed → ~0.2% with two retries)."""
     for attempt in range(attempts):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--inner"],
