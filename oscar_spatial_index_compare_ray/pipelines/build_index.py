@@ -91,7 +91,8 @@ def build_assignments(
 
 
 def build_trixel_data(assignments: ray.data.Dataset, pixel_col: str = "h3_cell",
-                      num_blocks: int = 32) -> ray.data.Dataset:
+                      num_blocks: int = 32,
+                      coalesce_to: int | None = None) -> ray.data.Dataset:
     """TrixelData analogue: (pixel, cell) → sorted unique item list
     (src/OscarSgIndex.cpp:147-157,184-191).
 
@@ -113,6 +114,7 @@ def build_trixel_data(assignments: ray.data.Dataset, pixel_col: str = "h3_cell",
             (pixel_col, pa.int64()), ("cell_id", pa.uint32()),
             ("items", pa.list_(pa.int64())), ("n_items", pa.int64()),
         ]),
+        coalesce_to=coalesce_to,
     )
 
 

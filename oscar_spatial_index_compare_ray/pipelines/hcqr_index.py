@@ -168,6 +168,7 @@ def build_hcqr_index(
     leaf_level: int,
     compact_level: int = 0,
     num_partitions: int | None = None,
+    coalesce_to: int | None = None,
 ) -> ray.data.Dataset:
     """text_index rows → HCQR node rows (one term-keyed exchange)."""
     import ray as _ray
@@ -188,6 +189,7 @@ def build_hcqr_index(
             ("level", pa.uint8()), ("fm", pa.bool_()),
             ("items", pa.list_(pa.int64())),
         ]),
+        coalesce_to=coalesce_to,
     )
 
 
@@ -199,8 +201,17 @@ def save_hcqr_index(out_dir: str, grid: Grid, leaf_level: int,
 
     hdir = os.path.join(out_dir, "hcqr")
     shutil.rmtree(hdir, ignore_errors=True)
-    ti = ray.data.read_parquet(os.path.join(out_dir, "text_index"))
-    nodes = build_hcqr_index(ti, grid, leaf_level, compact_level)
+    tdir = os.path.join(out_dir, "text_index")
+    ti = ray.data.read_parquet(tdir)
+    # exact input row count is free from the just-written parquet
+    # metadata — size the exchange instead of inheriting block dust
+    import pyarrow.dataset as pads
+
+    from ..stages.groupagg import exchange_coalesce_hint
+
+    n_rows = pads.dataset(tdir).count_rows()
+    nodes = build_hcqr_index(ti, grid, leaf_level, compact_level,
+                             coalesce_to=exchange_coalesce_hint(n_rows))
     from .persist import ROW_GROUP_SIZE
 
     nodes.sort("term").write_parquet(hdir, row_group_size=ROW_GROUP_SIZE)

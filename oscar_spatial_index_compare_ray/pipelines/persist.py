@@ -35,6 +35,7 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data
 
@@ -107,7 +108,22 @@ def save_index(
         corpus, grids=(grid,), level=level, with_tiles=False
     ).materialize()
 
-    text_index = build_text_index(corpus, assignments, pixel_col, families=True)
+    # exchange sizing hints (stages/groupagg.exchange_coalesce_hint):
+    # a small build's exchange inputs arrive as fixed-cost block dust;
+    # pin partition counts from cheap row counts (parquet metadata /
+    # the already-materialized assignments).  Token pairs are estimated
+    # at ~400/page (measured ~215 text-index rows/page on the synthetic
+    # corpus, families triple the join input) — only the ORDER matters:
+    # the hint gates a fixed-cost optimization and turns itself off
+    # past 64 partitions, so the at-scale plan is untouched.
+    from ..stages.groupagg import exchange_coalesce_hint
+
+    n_pages = pads.dataset(os.path.join(corpus, "pages.parquet")).count_rows()
+    pairs_hint = exchange_coalesce_hint(n_pages * 400)
+    points_hint = exchange_coalesce_hint(assignments.count())
+
+    text_index = build_text_index(corpus, assignments, pixel_col, families=True,
+                                  exchange_coalesce=pairs_hint)
     # deterministic order: sort by term before write → row-group pruning
     text_index.sort("term").write_parquet(
         os.path.join(out_dir, "text_index"), row_group_size=ROW_GROUP_SIZE,
@@ -115,13 +131,13 @@ def save_index(
     )
 
     dp = doc_pixels(assignments, pixel_col)
-    postings = build_pixel_postings(dp, pixel_col)
+    postings = build_pixel_postings(dp, pixel_col, coalesce_to=points_hint)
     postings.sort("pixel").write_parquet(
         os.path.join(out_dir, "postings"), row_group_size=ROW_GROUP_SIZE,
         **_ENCODINGS["postings"],
     )
 
-    build_trixel_data(assignments, pixel_col).sort("cell_id").write_parquet(
+    build_trixel_data(assignments, pixel_col, coalesce_to=points_hint).sort("cell_id").write_parquet(
         os.path.join(out_dir, "trixel_data"), row_group_size=ROW_GROUP_SIZE,
         **_ENCODINGS["trixel_data"],
     )

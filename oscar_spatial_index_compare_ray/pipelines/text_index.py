@@ -323,6 +323,7 @@ def _salted_classify(
     salt_buckets: int,
     has_family: bool,
     l2_pixel_bounded: bool = True,
+    coalesce_to: int | None = None,
 ) -> ray.data.Dataset:
     """Skew-safe shuffle #2: two-level aggregation with a SALT on the
     doc id (SURVEY.md §4 hot-key note; VERDICT round-1 #6 'wire hot-term
@@ -372,6 +373,7 @@ def _salted_classify(
             ("term", pa.string()), ("pixel_key", pa.int64()),
             ("items", pa.list_(pa.int64())), ("n", pa.int64()),
         ]),
+        coalesce_to=coalesce_to,
     )
 
     class _Finalize:
@@ -628,6 +630,7 @@ def build_text_index(
     salted: bool = True,
     salt_buckets: int = 8,
     l2_pixel_bounded: bool = True,
+    exchange_coalesce: int | None = None,
 ) -> ray.data.Dataset:
     """Full text-index build; returns the text_index Dataset.
 
@@ -686,10 +689,13 @@ def build_text_index(
         from ..stages.groupagg import _partitioned_apply
 
         if salted:
+            # the l2 exchange inherits l1's partition count (one block
+            # per l1 partition), so only l1 needs the coalesce hint
             return _salted_classify(pairs, counts_ref, pixel_col,
                                     num_partitions, salt_buckets,
                                     has_family=families,
-                                    l2_pixel_bounded=l2_pixel_bounded)
+                                    l2_pixel_bounded=l2_pixel_bounded,
+                                    coalesce_to=exchange_coalesce)
         fam_fields = [("family", pa.int8())] if families else []
         return _partitioned_apply(
             pairs, ["term"], num_partitions, _BlockClassifier(counts_ref, pixel_col),
@@ -697,6 +703,7 @@ def build_text_index(
                 ("term", pa.string()), ("pixel", pa.int64()), ("fm", pa.bool_()),
                 ("n", pa.int64()), ("items", pa.list_(pa.int64())),
             ]),
+            coalesce_to=exchange_coalesce,
         )
     vocab = build_vocab(terms).materialize()  # small: one row per distinct term
     hashed = terms.map_batches(_hash_terms, batch_format="pyarrow", zero_copy_batch=True)
@@ -753,7 +760,8 @@ def build_text_index(
                                zero_copy_batch=True, concurrency=(1, 8))
 
 
-def build_pixel_postings(doc_pix: ray.data.Dataset, pixel_col: str) -> ray.data.Dataset:
+def build_pixel_postings(doc_pix: ray.data.Dataset, pixel_col: str,
+                         coalesce_to: int | None = None) -> ray.data.Dataset:
     """pixel → sorted doc posting list (ItemIndex-store analogue) with a
     deterministic content-hash ``index_id`` — the coordination-free
     replacement for the shared mutex'd ItemIndexFactory
@@ -768,6 +776,7 @@ def build_pixel_postings(doc_pix: ray.data.Dataset, pixel_col: str) -> ray.data.
         doc_pix, [pixel_col], "doc_id", out_col="items", count_col=None,
         out_schema=pa.schema([(pixel_col, pa.int64()),
                               ("items", pa.list_(pa.int64()))]),
+        coalesce_to=coalesce_to,
     )
 
     def add_hash(batch: pa.Table) -> pa.Table:

@@ -38,6 +38,7 @@ instead.)
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -47,6 +48,30 @@ import ray.data
 from ..functions.hashing import splitmix64
 
 KHASH_COL = "__khash"
+
+
+def exchange_coalesce_hint(est_rows: int) -> int | None:
+    """Planner: explicit exchange partition count for SMALL inputs.
+
+    The sort exchange's fixed cost is proportional to partition count
+    (one map + one reduce task each, ~10-20 ms scheduling apiece —
+    the same Dataset-fixed-cost-∝-block-count lesson as the round-4
+    knn cache fix), and partition count follows the UPSTREAM block
+    count, which for a small input can be two orders of magnitude past
+    useful (measured: a 1M-row text-index build arrived in 128 dust
+    blocks; coalescing the exchange input to 8 cut the build 8.8 s →
+    3.8 s, identical output).  Given a cheap row-count estimate, this
+    returns a partition count sized to the DATA
+    (``OSIRAY_EXCHANGE_ROWS_PER_PART``, default 150k rows/partition)
+    — or None above ``OSIRAY_EXCHANGE_COALESCE_MAX`` partitions
+    (default 64), where upstream-block partitioning is already
+    well-shaped and an extra repartition pass would only add cost.
+    At the 10^12-doc design point every exchange input blows past the
+    gate, so the at-scale plan is untouched by construction."""
+    rows_per = int(os.environ.get("OSIRAY_EXCHANGE_ROWS_PER_PART", "150000"))
+    max_parts = int(os.environ.get("OSIRAY_EXCHANGE_COALESCE_MAX", "64"))
+    parts = max(4, -(-int(est_rows) // rows_per))
+    return parts if parts <= max_parts else None
 
 
 def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
@@ -85,10 +110,14 @@ def _with_khash(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
 
 
 def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: int,
-                       block_fn, out_schema: pa.Schema | None = None) -> ray.data.Dataset:
+                       block_fn, out_schema: pa.Schema | None = None,
+                       coalesce_to: int | None = None) -> ray.data.Dataset:
     """Key-complete exchange + vectorized per-partition apply (see module
     docstring).  ``num_partitions`` is kept for call-site compatibility;
-    partitioning now follows the upstream block count.
+    partitioning now follows the upstream block count — unless
+    ``coalesce_to`` (from :func:`exchange_coalesce_hint`) pins an
+    explicit partition count for a small input whose upstream blocks
+    are fixed-cost dust.
 
     ``out_schema`` types the output for EMPTY range partitions: Ray's
     sort emits schema-less empty blocks when sampled boundaries repeat
@@ -111,6 +140,8 @@ def _partitioned_apply(ds: ray.data.Dataset, keys: list[str], num_partitions: in
     partitions can't trip on stale state); splits whose halves land in
     DIFFERENT tasks are structurally undetectable here — the guard is
     best-effort within a task."""
+    if coalesce_to:
+        ds = ds.repartition(coalesce_to)
     ds = _with_khash(ds, keys)
 
     def per_block(batch: pa.Table, _state={"tid": None, "last": None}) -> pa.Table:
@@ -209,12 +240,13 @@ def grouped_sorted_unique_lists(
     out_col: str = "items",
     count_col: str | None = "n_items",
     out_schema: pa.Schema | None = None,
+    coalesce_to: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-partition by keys, vectorized per-partition list collect."""
     return _partitioned_apply(
         ds, keys, num_partitions,
         lambda b: sorted_unique_lists_block(b, keys, value_col, out_col, count_col),
-        out_schema=out_schema,
+        out_schema=out_schema, coalesce_to=coalesce_to,
     )
 
 
