@@ -110,12 +110,21 @@ def run_bench() -> dict:
     timings["assign_h3"] = best
 
     # shuffle #1: trixel data groupby (best of 2 — host noise phases
-    # swing single runs 2-5x, see BASELINE.md variance note)
+    # swing single runs 2-5x, see BASELINE.md variance note).  The
+    # exchange takes the size-gated coalesce hint from the point count
+    # the assign_h3 stage just measured — the same planner usage as
+    # save_index (a production caller knows its input rows from
+    # parquet metadata; the hint turns itself off past 64 partitions).
+    from oscar_spatial_index_compare_ray.stages.groupagg import (
+        exchange_coalesce_hint,
+    )
+
+    trixel_hint = exchange_coalesce_hint(n_points)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         a = build_assignments(corpus, grids=("h3",), level=8, with_tiles=False)
-        build_trixel_data(a, "h3_cell").count()
+        build_trixel_data(a, "h3_cell", coalesce_to=trixel_hint).count()
         best = min(best, time.perf_counter() - t0)
     timings["trixel_groupby"] = best
 
