@@ -130,7 +130,7 @@ def save_index(
         **_ENCODINGS["text_index"],
     )
 
-    dp = doc_pixels(assignments, pixel_col)
+    dp = doc_pixels(assignments, pixel_col, coalesce_to=points_hint)
     postings = build_pixel_postings(dp, pixel_col, coalesce_to=points_hint)
     postings.sort("pixel").write_parquet(
         os.path.join(out_dir, "postings"), row_group_size=ROW_GROUP_SIZE,

@@ -184,7 +184,8 @@ def _dup_with_mixed(ds: ray.data.Dataset, family: int) -> ray.data.Dataset:
     return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def doc_pixels(assignments: ray.data.Dataset, pixel_col: str) -> ray.data.Dataset:
+def doc_pixels(assignments: ray.data.Dataset, pixel_col: str,
+               coalesce_to: int | None = None) -> ray.data.Dataset:
     """Distinct (doc_id, pixel) pairs from the assignments table
     (combiner + hash-partitioned vectorized dedup)."""
     from ..stages.groupagg import grouped_distinct
@@ -192,6 +193,7 @@ def doc_pixels(assignments: ray.data.Dataset, pixel_col: str) -> ray.data.Datase
     return grouped_distinct(
         assignments.select_columns(["doc_id", pixel_col]), ["doc_id", pixel_col],
         out_schema=pa.schema([("doc_id", pa.int64()), (pixel_col, pa.int64())]),
+        coalesce_to=coalesce_to,
     )
 
 
@@ -683,7 +685,8 @@ def build_text_index(
         # dp feeds BOTH the broadcast counts and the join: materialize
         # once (small: one row per distinct (doc, pixel)) instead of
         # re-running its distinct exchange per consumer
-        dp = doc_pixels(assignments, pixel_col).materialize()
+        dp = doc_pixels(assignments, pixel_col,
+                        coalesce_to=exchange_coalesce).materialize()
         counts_ref = ray.put(pixel_doc_counts(dp, pixel_col))
         pairs = _join_doc_pixels(terms, dp, pixel_col, num_partitions)
         from ..stages.groupagg import _partitioned_apply

@@ -252,7 +252,8 @@ def grouped_sorted_unique_lists(
 
 def grouped_distinct(ds: ray.data.Dataset, keys: list[str],
                      num_partitions: int = 32,
-                     out_schema: pa.Schema | None = None) -> ray.data.Dataset:
+                     out_schema: pa.Schema | None = None,
+                     coalesce_to: int | None = None) -> ray.data.Dataset:
     """DISTINCT over key columns: per-batch C++ dedup (combiner), hash
     partition, per-partition final dedup.  No per-group Python."""
     ds = ds.map_batches(
@@ -261,7 +262,7 @@ def grouped_distinct(ds: ray.data.Dataset, keys: list[str],
     )
     return _partitioned_apply(
         ds, keys, num_partitions, lambda b: b.group_by(keys).aggregate([]),
-        out_schema=out_schema,
+        out_schema=out_schema, coalesce_to=coalesce_to,
     )
 
 
